@@ -1,0 +1,69 @@
+"""Benchmark: path-tracing throughput in Mrays/s on the reference's
+kitchen-sink test scene (the reference's own profiling workload,
+src/bin/profiling.rs:15-21, measures the same scene on CPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the Rust reference's single-core-equivalent
+throughput estimate recorded in BASELINE.md (no published numbers exist;
+we use the driver north-star of 100 Mrays/s/chip as baseline=1.0).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from scenes import create_test_scene
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.renderer import integrator
+    from solstrale_tpu.scene.compile import compile_scene
+
+    width, height, spp, max_depth = 400, 266, 8, 50
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       seed=1)
+    scene = create_test_scene(cfg)
+    cs = compile_scene(scene)
+
+    def run(sample):
+        color, _, _ = integrator.render_sample(
+            cs, sample, jnp.int32(1), width=width, height=height,
+            max_depth=max_depth, shader_kind=integrator.SHADER_PATH,
+            need_aux=False)
+        return color
+
+    # warmup/compile
+    run(jnp.int32(0)).block_until_ready()
+
+    t0 = time.perf_counter()
+    acc = None
+    for s in range(1, spp + 1):
+        img = run(jnp.int32(s))
+        acc = img if acc is None else acc + img
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    # Count actual rays traced: primary rays × average path length.
+    # Conservative lower bound: primary rays only (1 ray/pixel/sample/bounce
+    # would overcount dead rays in the fixed-depth wavefront).
+    primary_rays = width * height * spp
+    mrays = primary_rays / dt / 1e6
+
+    north_star = 100.0  # Mrays/s/chip (BASELINE.json)
+    print(json.dumps({
+        "metric": "primary_mrays_per_s_test_scene",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / north_star, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Vectorized ray-scene intersection (jnp; Pallas fast path lives in
+ops/pallas_intersect.py).
+
+The reference traverses a pointer-based binary BVH per ray with recursion
+(``bvh.rs:165-180``) and per-primitive virtual `hit` calls. The TPU-native
+design intersects a *wavefront* of R rays against typed primitive tables in
+one data-parallel sweep — (R, P) broadcast work on VPU lanes, chunked over P
+to bound memory. Interval semantics (inclusive contains, t-min epsilon)
+follow ``util/interval.rs:25-96``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geo import ALMOST_ZERO, INF, RAY_T_MIN, cross, dot, unit
+from ..scene.compile import (KIND_MEDIUM, KIND_QUAD, KIND_SPHERE,
+                             KIND_TRIANGLE, Lights, Solids)
+
+# primitive-chunk size for the (R, P) sweep; bounds peak memory at
+# R * CHUNK intermediates.
+CHUNK = 2048
+
+
+def _contains(t, tmin, tmax):
+    return (t >= tmin) & (t <= tmax)
+
+
+def _sphere_t(center, radius, valid, o, d, tmin, tmax):
+    """Quadratic sphere intersection (sphere.rs:64-83): nearest root in the
+    interval, else the far root, else miss. Shapes: o,d (R,3); center (P,3);
+    returns t (R,P)."""
+    oc = o[:, None, :] - center[None, :, :]
+    a = jnp.sum(d * d, -1)[:, None]
+    half_b = jnp.sum(oc * d[:, None, :], -1)
+    c2 = jnp.sum(oc * oc, -1) - (radius * radius)[None, :]
+    disc = half_b * half_b - a * c2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-half_b - sq) / a
+    r2 = (-half_b + sq) / a
+    ok = (disc >= 0.0) & valid[None, :]
+    t = jnp.where(ok & _contains(r1, tmin, tmax), r1,
+                  jnp.where(ok & _contains(r2, tmin, tmax), r2, INF))
+    return t
+
+
+def _quad_t(q, u, v, normal, dpl, w, valid, o, d, tmin, tmax):
+    """Plane + planar-coordinates quad intersection (quad.rs:150-173).
+    Returns (t, pu, pv) with t=INF on miss."""
+    denom = jnp.einsum("rk,pk->rp", d, normal)
+    t = (dpl[None, :] - jnp.einsum("rk,pk->rp", o, normal)) / denom
+    hp = o[:, None, :] + d[:, None, :] * t[..., None]
+    pv_vec = hp - q[None, :, :]
+    pu = jnp.sum(w[None, :, :] * jnp.cross(pv_vec, v[None, :, :]), -1)
+    pvv = jnp.sum(w[None, :, :] * jnp.cross(u[None, :, :], pv_vec), -1)
+    ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid[None, :]
+          & (pu >= 0.0) & (pu <= 1.0) & (pvv >= 0.0) & (pvv <= 1.0)
+          & _contains(t, tmin, tmax))
+    return jnp.where(ok, t, INF), pu, pvv
+
+
+def _tri_t(v0, e1, e2, valid, o, d, tmin, tmax):
+    """Möller–Trumbore (triangle.rs:119-148). Returns (t, bu, bv)."""
+    p_vec = jnp.cross(d[:, None, :], e2[None, :, :])
+    det = jnp.sum(e1[None, :, :] * p_vec, -1)
+    inv_det = 1.0 / det
+    t_vec = o[:, None, :] - v0[None, :, :]
+    q_vec = jnp.cross(t_vec, e1[None, :, :])
+    bu = jnp.sum(t_vec * p_vec, -1) * inv_det
+    bv = jnp.sum(d[:, None, :] * q_vec, -1) * inv_det
+    tt = jnp.sum(e2[None, :, :] * q_vec, -1) * inv_det
+    ok = ((jnp.abs(det) >= ALMOST_ZERO) & valid[None, :]
+          & (bu >= 0.0) & (bu <= 1.0) & (bv >= 0.0) & (bu + bv <= 1.0)
+          & _contains(tt, tmin, tmax))
+    return jnp.where(ok, tt, INF), bu, bv
+
+
+def _min_over_prims(t):
+    """(R, P) t-matrix → (t_min, argmin) per ray."""
+    idx = jnp.argmin(t, axis=1)
+    return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0], idx.astype(jnp.int32)
+
+
+def _chunk_scan(fn, n_prims, r):
+    """Run fn(start, size) over prim chunks, keeping the running (t, idx) min.
+    fn returns a (R, size) t-matrix for prims [start, start+size)."""
+    best_t = jnp.full((r,), INF, jnp.float32)
+    best_i = jnp.zeros((r,), jnp.int32)
+    for start in range(0, n_prims, CHUNK):
+        size = min(CHUNK, n_prims - start)
+        t = fn(start, size)
+        ct, ci = _min_over_prims(t)
+        take = ct < best_t
+        best_t = jnp.where(take, ct, best_t)
+        best_i = jnp.where(take, ci + start, best_i)
+    return best_t, best_i
+
+
+def closest_solid_hit(s: Solids, o, d, tmin, tmax):
+    """Closest hit over all solid tables.
+
+    Returns (t, kind, idx); t = INF on miss. tmin/tmax broadcast over (R,).
+    """
+    r = o.shape[0]
+    if jnp.ndim(tmin):
+        tmin = tmin.reshape(r, 1)
+    if jnp.ndim(tmax):
+        tmax = tmax.reshape(r, 1)
+
+    ts, is_ = _chunk_scan(
+        lambda a, n: _sphere_t(s.sph_center[a:a + n], s.sph_radius[a:a + n],
+                               s.sph_valid[a:a + n], o, d, tmin, tmax),
+        s.sph_center.shape[0], r)
+    tq, iq = _chunk_scan(
+        lambda a, n: _quad_t(s.qd_q[a:a + n], s.qd_u[a:a + n], s.qd_v[a:a + n],
+                             s.qd_normal[a:a + n], s.qd_d[a:a + n],
+                             s.qd_w[a:a + n], s.qd_valid[a:a + n],
+                             o, d, tmin, tmax)[0],
+        s.qd_q.shape[0], r)
+    tt, it = _chunk_scan(
+        lambda a, n: _tri_t(s.tr_v0[a:a + n], s.tr_e1[a:a + n],
+                            s.tr_e2[a:a + n], s.tr_valid[a:a + n],
+                            o, d, tmin, tmax)[0],
+        s.tr_v0.shape[0], r)
+
+    t = jnp.minimum(jnp.minimum(ts, tq), tt)
+    kind = jnp.where(t == ts, KIND_SPHERE,
+                     jnp.where(t == tq, KIND_QUAD, KIND_TRIANGLE)).astype(jnp.int32)
+    idx = jnp.where(t == ts, is_, jnp.where(t == tq, iq, it))
+    return t, kind, idx
+
+
+def hit_attributes(s: Solids, o, d, t, kind, idx):
+    """Gather/recompute full hit attributes for winning (kind, idx, t).
+
+    Mirrors RayHit construction in sphere.rs:84-107 / quad.rs:164-193 /
+    triangle.rs:142-172: geometric normal flipped to face the ray, tangent
+    frame for bump mapping, texture UV, front_face flag, material id.
+    Returns dict of (R,·) arrays.
+    """
+    point = o + d * t[..., None]
+
+    # --- sphere candidate ---
+    c = s.sph_center[idx]
+    n_raw = point - c
+    n_unit = unit(n_raw)
+    front_s = dot(d, n_unit) < 0.0
+    normal_s = jnp.where(front_s[..., None], n_unit, -n_unit)
+    theta = jnp.arccos(jnp.clip(-n_unit[..., 1], -1.0, 1.0))
+    phi = -jnp.arctan2(n_unit[..., 2], n_unit[..., 0]) + jnp.pi
+    uv_s = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1)
+    unit_y = jnp.asarray([0.0, 1.0, 0.0], n_raw.dtype)
+    tangent_s = unit(cross(jnp.broadcast_to(unit_y, n_raw.shape), n_raw))
+    bitangent_s = cross(n_raw, tangent_s)  # unnormalized, as in sphere.rs:89-90
+    mat_s = s.sph_mat[idx]
+
+    # --- quad candidate ---
+    qq, qu, qv = s.qd_q[idx], s.qd_u[idx], s.qd_v[idx]
+    qn, qw = s.qd_normal[idx], s.qd_w[idx]
+    pv_vec = point - qq
+    uq = dot(qw, cross(pv_vec, qv))
+    vq = dot(qw, cross(qu, pv_vec))
+    uv_q = jnp.stack([uq, vq], -1)
+    front_q = dot(d, qn) < 0.0
+    normal_q = jnp.where(front_q[..., None], qn, -qn)
+    tangent_q = unit(qu)
+    bitangent_q = unit(qv)
+    mat_q = s.qd_mat[idx]
+
+    # --- triangle candidate ---
+    v0, e1, e2 = s.tr_v0[idx], s.tr_e1[idx], s.tr_e2[idx]
+    p_vec = cross(d, e2)
+    det = dot(e1, p_vec)
+    inv_det = 1.0 / det
+    t_vec = o - v0
+    q_vec = cross(t_vec, e1)
+    bu = dot(t_vec, p_vec) * inv_det
+    bv = dot(d, q_vec) * inv_det
+    b0 = 1.0 - bu - bv
+    uv0, uv1, uv2 = s.tr_uv0[idx], s.tr_uv1[idx], s.tr_uv2[idx]
+    uv_t = b0[..., None] * uv0 + bu[..., None] * uv1 + bv[..., None] * uv2
+    tn = s.tr_normal[idx]
+    front_t = dot(d, tn) < 0.0
+    normal_t = jnp.where(front_t[..., None], tn, -tn)
+    tangent_t = s.tr_tangent[idx]
+    bitangent_t = s.tr_bitangent[idx]
+    mat_t = s.tr_mat[idx]
+
+    is_s = (kind == KIND_SPHERE)
+    is_q = (kind == KIND_QUAD)
+
+    def sel(a, b, c_):
+        cond_s = is_s.reshape(is_s.shape + (1,) * (a.ndim - is_s.ndim))
+        cond_q = is_q.reshape(is_q.shape + (1,) * (a.ndim - is_q.ndim))
+        return jnp.where(cond_s, a, jnp.where(cond_q, b, c_))
+
+    return dict(
+        point=point,
+        normal=sel(normal_s, normal_q, normal_t),
+        tangent=sel(tangent_s, tangent_q, tangent_t),
+        bitangent=sel(bitangent_s, bitangent_q, bitangent_t),
+        uv=sel(uv_s, uv_q, uv_t),
+        front_face=sel(front_s, front_q, front_t),
+        mat=sel(mat_s, mat_q, mat_t),
+    )
+
+
+def medium_hit(medium, o, d, t_solid, u_flight):
+    """Constant-medium scattering distance (constant_medium.rs:35-79).
+
+    Entry = first boundary hit on (-inf, inf), exit = next hit past it;
+    exponential free-flight sample decides scattering inside [entry, exit]
+    clamped to [RAY_T_MIN, t_solid]. Returns t (INF = no medium event)."""
+    t1, _, _ = closest_solid_hit(medium.boundary, o, d, -INF, INF)
+    t2, _, _ = closest_solid_hit(medium.boundary, o, d, t1 + 1e-4, INF)
+    both = jnp.isfinite(t1) & jnp.isfinite(t2)
+
+    t1c = jnp.maximum(t1, RAY_T_MIN)
+    t2c = jnp.minimum(t2, t_solid)
+    ordered = t1c < t2c
+    t1c = jnp.maximum(t1c, 0.0)
+
+    r_len = jnp.sqrt(jnp.sum(d * d, -1))
+    dist_inside = (t2c - t1c) * r_len
+    hit_dist = medium.neg_inv_density * jnp.log(jnp.maximum(u_flight, 1e-38))
+    scatters = hit_dist <= dist_inside
+    t = t1c + hit_dist / r_len
+    return jnp.where(both & ordered & scatters, t, INF)
+
+
+# --- NEE light table ops (pdf.rs:88-102 semantics) ------------------------
+
+def light_pdf_values(lights: Lights, o, d):
+    """Per-light pdf of sampling direction d from origin o: (R, L).
+
+    Each light re-intersects the ray against itself with RAY_INTERVAL, then:
+    sphere → 1/solid-angle (sphere.rs:40-56), quad/tri → dist²/(cosθ·area)
+    (quad.rs:132-143, triangle.rs:100-112). NaN propagates exactly like the
+    reference (e.g. origin inside a sphere light) and is later suppressed by
+    the shader's NaN filter (shader.rs:109-125).
+    """
+    tmin, tmax = RAY_T_MIN, INF
+    # sphere part
+    oc = o[:, None, :] - lights.p0[None, :, :]
+    a = jnp.sum(d * d, -1)[:, None]
+    half_b = jnp.sum(oc * d[:, None, :], -1)
+    c2 = jnp.sum(oc * oc, -1) - (lights.radius * lights.radius)[None, :]
+    disc = half_b * half_b - a * c2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-half_b - sq) / a
+    r2 = (-half_b + sq) / a
+    sph_hit = (disc >= 0.0) & (_contains(r1, tmin, tmax) | _contains(r2, tmin, tmax))
+    dist_sq = jnp.sum(oc * oc, -1)
+    cos_theta_max = jnp.sqrt(
+        1.0 - (lights.radius * lights.radius)[None, :] / dist_sq)
+    solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
+    pdf_sph = jnp.where(sph_hit, 1.0 / solid_angle, 0.0)
+
+    # quad part
+    tq, _, _ = _quad_t(lights.p0, lights.p1, lights.p2, lights.normal,
+                       lights.d, lights.w,
+                       jnp.ones(lights.kind.shape, bool), o, d, tmin, tmax)
+    # triangle part
+    tt, _, _ = _tri_t(lights.p0, lights.p1, lights.p2,
+                      jnp.ones(lights.kind.shape, bool), o, d, tmin, tmax)
+
+    d_len_sq = jnp.sum(d * d, -1)[:, None]
+    cos_planar = jnp.abs(jnp.einsum("rk,lk->rl", d, lights.normal)) / jnp.sqrt(d_len_sq)
+    t_planar = jnp.where(lights.kind[None, :] == KIND_QUAD, tq, tt)
+    pdf_planar = jnp.where(
+        jnp.isfinite(t_planar),
+        t_planar * t_planar * d_len_sq / (cos_planar * lights.area[None, :]),
+        0.0)
+
+    return jnp.where(lights.kind[None, :] == KIND_SPHERE, pdf_sph, pdf_planar)
+
+
+def sample_light_direction(lights: Lights, o, pick, r1, r2):
+    """Generate a direction towards the light picked per-ray (pdf.rs:98-101):
+    sphere → cone sample (sphere.rs:58-62), quad/tri → uniform parallelogram
+    point minus origin (quad.rs:145-148, triangle.rs:114-117)."""
+    from . import rng as _rng
+    from ..geo import onb_from_w, onb_local
+
+    kind = lights.kind[pick]
+    p0 = lights.p0[pick]
+    p1 = lights.p1[pick]
+    p2 = lights.p2[pick]
+    radius = lights.radius[pick]
+
+    # sphere: cone towards center
+    to_c = p0 - o
+    dist_sq = jnp.sum(to_c * to_c, -1)
+    tan, bit, nrm = onb_from_w(to_c)
+    local = _rng.to_sphere(radius, dist_sq, r1, r2)
+    dir_sphere = onb_local(tan, bit, nrm, local)
+
+    # planar: point on parallelogram
+    dir_planar = p0 + p1 * r1[..., None] + p2 * r2[..., None] - o
+
+    return jnp.where((kind == KIND_SPHERE)[..., None], dir_sphere, dir_planar)

@@ -1,0 +1,93 @@
+"""Device-mesh sharding for multi-chip / multi-host rendering and training.
+
+TPU-native replacement for the reference's entire concurrency stack (rayon
+row tasks + Arc<Mutex> accumulators + mpsc channels,
+renderer/mod.rs:232-291): a ``jax.sharding.Mesh`` with named axes, the image
+sharded as pixel tiles via ``shard_map``, the scene replicated per device,
+and gradient ``psum`` across the mesh for inverse rendering. Because the RNG
+is counter-based on pixel ids (ops/rng.py), any partition renders
+bit-identically to the single-device path — the lock-free analogue of the
+reference's row merging.
+
+Axes:
+- ``tile``: pixels partitioned into contiguous tiles (data parallel over the
+  image; rides ICI).
+- ``sample``: independent sample batches (Monte Carlo parallelism); combined
+  with a psum at emission time.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..renderer import integrator
+
+
+def make_mesh(n_tile=None, n_sample=1, devices=None):
+    """Build a (tile, sample) mesh over available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_tile is None:
+        n_tile = n_dev // n_sample
+    assert n_tile * n_sample == n_dev, (n_tile, n_sample, n_dev)
+    dev_array = np.array(devices).reshape(n_tile, n_sample)
+    return Mesh(dev_array, ("tile", "sample"))
+
+
+def _pad_to(n, m):
+    return (n + m - 1) // m * m
+
+
+def render_sample_sharded(cs, sample, seed, mesh, *, width, height, max_depth,
+                          shader_kind, need_aux):
+    """One full-image sample pass sharded over the mesh.
+
+    Pixels are partitioned across the ``tile`` axis; consecutive samples
+    across the ``sample`` axis (each sample-shard renders sample + its index);
+    results are psum-reduced over ``sample`` so the output is the *sum* of
+    n_sample sample passes, matching the renderer's progressive accumulator.
+    Returns (pixel, albedo, normal) image planes (height, width, 3).
+    """
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    n_pix = width * height
+    n_padded = _pad_to(n_pix, n_tile)
+
+    pix = jnp.arange(n_padded, dtype=jnp.int32)
+    # clamp padding ids; their results are dropped on reshape
+    pix = jnp.minimum(pix, n_pix - 1)
+    sample_offsets = jnp.arange(n_sample, dtype=jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("tile"), P("sample"), P(), P()),
+             out_specs=(P("tile"), P("tile"), P("tile")))
+    def shard_fn(cs_rep, pix_shard, sample_off, sample_base, seed_):
+        color, albedo, normal = integrator.render_pixels(
+            cs_rep, pix_shard, sample_base + sample_off[0], seed_,
+            width=width, height=height, max_depth=max_depth,
+            shader_kind=shader_kind, need_aux=need_aux)
+        # accumulate over the sample axis (progressive sum semantics)
+        color = jax.lax.psum(color, "sample")
+        albedo = jax.lax.psum(albedo, "sample")
+        normal = jax.lax.psum(normal, "sample")
+        return color, albedo, normal
+
+    color, albedo, normal = shard_fn(cs, pix, sample_offsets,
+                                     jnp.int32(sample), jnp.int32(seed))
+
+    def to_image(c):
+        return c[:n_pix].reshape(height, width, 3)[::-1]
+
+    return to_image(color), to_image(albedo), to_image(normal)
+
+
+def replicate_scene(cs, mesh):
+    """Place the compiled scene replicated on every device (the reference
+    replicates the scene per thread implicitly via shared memory; on a TPU
+    slice it is replicated per chip over ICI)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(cs, sharding)

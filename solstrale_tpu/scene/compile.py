@@ -1,0 +1,420 @@
+"""Scene → device SoA compiler.
+
+The TPU-native inversion of the reference's pointer-based polymorphic world
+(`enum_dispatch` enums, ``hittable/mod.rs:47-61``): the scene graph flattens
+into typed primitive tables (spheres / quads / triangles), a material
+parameter table, a packed texture arena, a unified light-sampling table and
+per-medium boundary sub-tables. Everything on device is a static-shaped
+float32/int32 array so the whole render step compiles to one XLA program.
+
+All baking math is float64 on host (matching the reference's f64 construction,
+e.g. quad.rs:41-65) then cast to f32 for device.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, fields
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import Bvh, ConstantMedium, Hittable, Quad, Scene, Sphere, Triangle
+from .materials import (BLEND, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC,
+                        LAMBERTIAN, METAL, Blend, Dielectric, DiffuseLight,
+                        Isotropic, Lambertian, Metal)
+from .textures import ImageMap, SolidColor
+
+KIND_SPHERE = 0
+KIND_QUAD = 1
+KIND_TRIANGLE = 2
+KIND_MEDIUM = 3  # pseudo-kind for volume scattering events
+
+
+def _pytree_dataclass(cls):
+    cls = dataclass(frozen=True)(cls)
+
+    def flatten(obj):
+        return tuple(getattr(obj, f.name) for f in fields(cls)), None
+
+    def unflatten(_, children):
+        return cls(*children)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_pytree_dataclass
+class Solids:
+    """Typed solid-primitive tables. Padded rows are masked via *_valid."""
+
+    sph_center: jnp.ndarray   # (S, 3)
+    sph_radius: jnp.ndarray   # (S,)
+    sph_mat: jnp.ndarray      # (S,) int32
+    sph_valid: jnp.ndarray    # (S,) bool
+    qd_q: jnp.ndarray         # (Q, 3)
+    qd_u: jnp.ndarray
+    qd_v: jnp.ndarray
+    qd_normal: jnp.ndarray
+    qd_d: jnp.ndarray         # (Q,)
+    qd_w: jnp.ndarray         # (Q, 3)
+    qd_area: jnp.ndarray      # (Q,)
+    qd_mat: jnp.ndarray
+    qd_valid: jnp.ndarray
+    tr_v0: jnp.ndarray        # (T, 3)
+    tr_e1: jnp.ndarray
+    tr_e2: jnp.ndarray
+    tr_uv0: jnp.ndarray       # (T, 2)
+    tr_uv1: jnp.ndarray
+    tr_uv2: jnp.ndarray
+    tr_normal: jnp.ndarray
+    tr_tangent: jnp.ndarray
+    tr_bitangent: jnp.ndarray
+    tr_area: jnp.ndarray      # (T,)
+    tr_mat: jnp.ndarray
+    tr_valid: jnp.ndarray
+
+
+@_pytree_dataclass
+class Medium:
+    """One constant medium: boundary geometry + phase parameters
+    (constant_medium.rs:16-31)."""
+
+    boundary: Solids
+    neg_inv_density: jnp.ndarray  # ()
+    mat: jnp.ndarray              # () int32 — isotropic phase material
+
+
+@_pytree_dataclass
+class Lights:
+    """Unified light table for NEE pdf evaluation / sampling (pdf.rs:88-102).
+
+    p0/p1/p2 mean (center, -, -) for spheres, (q, u, v) for quads,
+    (v0, e1, e2) for triangles.
+    """
+
+    kind: jnp.ndarray     # (L,) int32
+    p0: jnp.ndarray       # (L, 3)
+    p1: jnp.ndarray       # (L, 3)
+    p2: jnp.ndarray       # (L, 3)
+    radius: jnp.ndarray   # (L,)
+    normal: jnp.ndarray   # (L, 3)
+    d: jnp.ndarray        # (L,)
+    w: jnp.ndarray        # (L, 3)
+    area: jnp.ndarray     # (L,)
+
+
+@_pytree_dataclass
+class Materials:
+    kind: jnp.ndarray         # (M,) int32
+    albedo_tex: jnp.ndarray   # (M,) int32
+    normal_tex: jnp.ndarray   # (M,) int32, -1 = none
+    fuzz: jnp.ndarray         # (M,)
+    ior: jnp.ndarray          # (M,)
+    atten: jnp.ndarray        # (M,) attenuation factor, 0 = none
+    blend_factor: jnp.ndarray  # (M,)
+    blend_m1: jnp.ndarray      # (M,) int32
+    blend_m2: jnp.ndarray      # (M,) int32
+
+
+@_pytree_dataclass
+class TexArena:
+    pixels: jnp.ndarray   # (N, 3) f32 — THE differentiable parameter bank
+    offset: jnp.ndarray   # (Tt,) int32
+    w: jnp.ndarray        # (Tt,) int32
+    h: jnp.ndarray        # (Tt,) int32
+
+
+@_pytree_dataclass
+class CameraSoA:
+    origin: jnp.ndarray       # (3,)
+    lower_left: jnp.ndarray
+    horizontal: jnp.ndarray
+    vertical: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    lens_radius: jnp.ndarray  # ()
+
+
+@_pytree_dataclass
+class CompiledScene:
+    solids: Solids
+    media: tuple            # tuple[Medium, ...] (static length)
+    lights: Lights
+    materials: Materials
+    textures: TexArena
+    bg_color: jnp.ndarray   # (3,)
+    camera: CameraSoA
+
+
+class SceneError(ValueError):
+    pass
+
+
+def _walk(node, out, in_medium):
+    if isinstance(node, (list, tuple)):
+        for c in node:
+            _walk(c, out, in_medium)
+    elif isinstance(node, Bvh):
+        _walk(node.children, out, in_medium)
+    elif isinstance(node, ConstantMedium):
+        if in_medium:
+            raise SceneError("nested constant media are not supported")
+        sub = {"spheres": [], "quads": [], "triangles": [], "media": None}
+        _walk(node.boundary, sub, True)
+        out["media"].append((node, sub))
+    elif isinstance(node, Sphere):
+        out["spheres"].append(node)
+    elif isinstance(node, Quad):
+        out["quads"].append(node)
+    elif isinstance(node, Triangle):
+        out["triangles"].append(node)
+    elif isinstance(node, Hittable):
+        raise SceneError(f"unsupported hittable: {type(node).__name__}")
+    else:
+        raise SceneError(f"not a hittable: {type(node).__name__}")
+
+
+class _TexArenaBuilder:
+    def __init__(self):
+        self.pixels = []
+        self.offset = []
+        self.w = []
+        self.h = []
+        self._by_id = {}
+        self._n = 0
+
+    def add(self, tex):
+        if tex is None:
+            return -1
+        key = id(tex)
+        if key in self._by_id:
+            return self._by_id[key]
+        if isinstance(tex, SolidColor):
+            img = np.asarray(tex.rgb, np.float64).reshape(1, 1, 3)
+        elif isinstance(tex, ImageMap):
+            # match rgb_to_vec3 (rgb_color.rs:37-43)
+            img = tex.image.astype(np.float64) / 255.0
+        else:
+            raise SceneError(f"unsupported texture: {type(tex).__name__}")
+        h, w = img.shape[:2]
+        tid = len(self.offset)
+        self.offset.append(self._n)
+        self.w.append(w)
+        self.h.append(h)
+        self.pixels.append(img.reshape(-1, 3))
+        self._n += h * w
+        self._by_id[key] = tid
+        return tid
+
+    def build(self):
+        if not self.pixels:
+            self.add(SolidColor(1.0, 1.0, 1.0))
+        return TexArena(
+            pixels=jnp.asarray(np.concatenate(self.pixels, 0), jnp.float32),
+            offset=jnp.asarray(self.offset, jnp.int32),
+            w=jnp.asarray(self.w, jnp.int32),
+            h=jnp.asarray(self.h, jnp.int32),
+        )
+
+
+class _MatTableBuilder:
+    def __init__(self, arena):
+        self.arena = arena
+        self.rows = []
+        self._by_id = {}
+
+    def add(self, mat):
+        key = id(mat)
+        if key in self._by_id:
+            return self._by_id[key]
+        row = dict(kind=LAMBERTIAN, albedo_tex=-1, normal_tex=-1, fuzz=0.0,
+                   ior=1.0, atten=0.0, blend_factor=0.0, blend_m1=-1,
+                   blend_m2=-1)
+        mi = len(self.rows)
+        self.rows.append(row)  # reserve slot before recursing (blend children)
+        self._by_id[key] = mi
+        if isinstance(mat, Lambertian):
+            row.update(kind=LAMBERTIAN, albedo_tex=self.arena.add(mat.albedo),
+                       normal_tex=self.arena.add(mat.normal))
+        elif isinstance(mat, Metal):
+            row.update(kind=METAL, albedo_tex=self.arena.add(mat.albedo),
+                       normal_tex=self.arena.add(mat.normal), fuzz=mat.fuzz)
+        elif isinstance(mat, Dielectric):
+            row.update(kind=DIELECTRIC, albedo_tex=self.arena.add(mat.albedo),
+                       normal_tex=self.arena.add(mat.normal),
+                       ior=mat.index_of_refraction)
+        elif isinstance(mat, DiffuseLight):
+            row.update(kind=DIFFUSE_LIGHT, albedo_tex=self.arena.add(mat.tex),
+                       atten=mat.attenuation_factor)
+        elif isinstance(mat, Isotropic):
+            row.update(kind=ISOTROPIC, albedo_tex=self.arena.add(mat.tex))
+        elif isinstance(mat, Blend):
+            row.update(kind=BLEND, blend_factor=mat.blend_factor,
+                       blend_m1=self.add(mat.material_1),
+                       blend_m2=self.add(mat.material_2))
+        else:
+            raise SceneError(f"unsupported material: {type(mat).__name__}")
+        return mi
+
+    def build(self):
+        rows = self.rows or [dict(kind=LAMBERTIAN,
+                                  albedo_tex=self.arena.add(SolidColor(1, 1, 1)),
+                                  normal_tex=-1, fuzz=0.0, ior=1.0, atten=0.0,
+                                  blend_factor=0.0, blend_m1=-1, blend_m2=-1)]
+
+        def col(name, dtype):
+            return jnp.asarray(np.array([r[name] for r in rows], dtype))
+
+        return Materials(
+            kind=col("kind", np.int32),
+            albedo_tex=col("albedo_tex", np.int32),
+            normal_tex=col("normal_tex", np.int32),
+            fuzz=col("fuzz", np.float32), ior=col("ior", np.float32),
+            atten=col("atten", np.float32),
+            blend_factor=col("blend_factor", np.float32),
+            blend_m1=col("blend_m1", np.int32),
+            blend_m2=col("blend_m2", np.int32),
+        )
+
+
+def _build_solids(spheres, quads, tris, mats):
+    f32, i32 = np.float32, np.int32
+    S = max(len(spheres), 1)
+    sph_center = np.zeros((S, 3)); sph_radius = np.ones(S)
+    sph_mat = np.zeros(S, i32); sph_valid = np.zeros(S, bool)
+    for i, s in enumerate(spheres):
+        sph_center[i], sph_radius[i] = s.center, s.radius
+        sph_mat[i] = mats.add(s.material)
+        sph_valid[i] = True
+
+    Q = max(len(quads), 1)
+    qd_q = np.zeros((Q, 3)); qd_u = np.zeros((Q, 3)); qd_v = np.zeros((Q, 3))
+    qd_normal = np.tile(np.array([0.0, 0.0, 1.0]), (Q, 1))
+    qd_d = np.zeros(Q); qd_w = np.zeros((Q, 3)); qd_area = np.ones(Q)
+    qd_mat = np.zeros(Q, i32); qd_valid = np.zeros(Q, bool)
+    for i, q in enumerate(quads):
+        qd_q[i], qd_u[i], qd_v[i] = q.q, q.u, q.v
+        qd_normal[i], qd_d[i], qd_w[i], qd_area[i] = q.normal, q.d, q.w, q.area
+        qd_mat[i] = mats.add(q.material)
+        qd_valid[i] = True
+
+    T = max(len(tris), 1)
+    tr_v0 = np.zeros((T, 3)); tr_e1 = np.zeros((T, 3)); tr_e2 = np.zeros((T, 3))
+    tr_uv0 = np.zeros((T, 2)); tr_uv1 = np.zeros((T, 2)); tr_uv2 = np.zeros((T, 2))
+    tr_normal = np.tile(np.array([0.0, 0.0, 1.0]), (T, 1))
+    tr_tangent = np.tile(np.array([1.0, 0.0, 0.0]), (T, 1))
+    tr_bitangent = np.tile(np.array([0.0, 1.0, 0.0]), (T, 1))
+    tr_area = np.ones(T)
+    tr_mat = np.zeros(T, i32); tr_valid = np.zeros(T, bool)
+    for i, t in enumerate(tris):
+        tr_v0[i], tr_e1[i], tr_e2[i] = t.v0, t.e1, t.e2
+        tr_uv0[i], tr_uv1[i], tr_uv2[i] = t.uv0, t.uv1, t.uv2
+        tr_normal[i], tr_tangent[i], tr_bitangent[i] = t.normal, t.tangent, t.bi_tangent
+        tr_area[i] = t.area
+        tr_mat[i] = mats.add(t.material)
+        tr_valid[i] = True
+
+    j = lambda x: jnp.asarray(np.asarray(x, f32))
+    ji = lambda x: jnp.asarray(np.asarray(x, i32))
+    jb = lambda x: jnp.asarray(x)
+    return Solids(
+        sph_center=j(sph_center), sph_radius=j(sph_radius),
+        sph_mat=ji(sph_mat), sph_valid=jb(sph_valid),
+        qd_q=j(qd_q), qd_u=j(qd_u), qd_v=j(qd_v), qd_normal=j(qd_normal),
+        qd_d=j(qd_d), qd_w=j(qd_w), qd_area=j(qd_area), qd_mat=ji(qd_mat),
+        qd_valid=jb(qd_valid),
+        tr_v0=j(tr_v0), tr_e1=j(tr_e1), tr_e2=j(tr_e2),
+        tr_uv0=j(tr_uv0), tr_uv1=j(tr_uv1), tr_uv2=j(tr_uv2),
+        tr_normal=j(tr_normal), tr_tangent=j(tr_tangent),
+        tr_bitangent=j(tr_bitangent), tr_area=j(tr_area), tr_mat=ji(tr_mat),
+        tr_valid=jb(tr_valid),
+    )
+
+
+def _build_lights(spheres, quads, tris):
+    rows = []
+    for s in spheres:
+        if s.material.is_light:
+            rows.append((KIND_SPHERE, s.center, np.zeros(3), np.zeros(3),
+                         s.radius, np.zeros(3), 0.0, np.zeros(3), 1.0))
+    for q in quads:
+        if q.material.is_light:
+            rows.append((KIND_QUAD, q.q, q.u, q.v, 0.0, q.normal, q.d, q.w,
+                         q.area))
+    for t in tris:
+        if t.material.is_light:
+            rows.append((KIND_TRIANGLE, t.v0, t.e1, t.e2, 0.0, t.normal, 0.0,
+                         np.zeros(3), t.area))
+    if not rows:
+        raise SceneError("Scene should have at least one light")
+    j = lambda xs: jnp.asarray(np.asarray(xs, np.float32))
+    return Lights(
+        kind=jnp.asarray(np.array([r[0] for r in rows], np.int32)),
+        p0=j([r[1] for r in rows]), p1=j([r[2] for r in rows]),
+        p2=j([r[3] for r in rows]), radius=j([r[4] for r in rows]),
+        normal=j([r[5] for r in rows]), d=j([r[6] for r in rows]),
+        w=j([r[7] for r in rows]), area=j([r[8] for r in rows]),
+    )
+
+
+def compile_camera(camera, width, height):
+    """Thin-lens camera precompute (camera.rs:47-74), host f64."""
+    aspect = width / height
+    theta = math.radians(camera.vertical_fov_degrees)
+    h = math.tan(theta / 2.0)
+    vp_height = 2.0 * h
+    vp_width = aspect * vp_height
+
+    look_v = camera.look_from - camera.look_at
+    focus = np.linalg.norm(look_v)
+    w = look_v / focus
+    u = np.cross(camera.up / np.linalg.norm(camera.up), w)
+    u = u / np.linalg.norm(u)
+    v = np.cross(w, u)
+
+    horizontal = u * vp_width * focus
+    vertical = v * vp_height * focus
+    lower_left = camera.look_from - horizontal / 2 - vertical / 2 - w * focus
+    j = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    return CameraSoA(origin=j(camera.look_from), lower_left=j(lower_left),
+                     horizontal=j(horizontal), vertical=j(vertical),
+                     u=j(u), v=j(v),
+                     lens_radius=j(camera.aperture_size / 2.0))
+
+
+def compile_scene(scene: Scene) -> CompiledScene:
+    """Flatten a Scene into a CompiledScene of device arrays.
+
+    Raises SceneError("Scene should have at least one light") like
+    renderer/mod.rs:143-147.
+    """
+    out = {"spheres": [], "quads": [], "triangles": [], "media": []}
+    _walk(scene.world, out, False)
+
+    arena = _TexArenaBuilder()
+    mats = _MatTableBuilder(arena)
+
+    solids = _build_solids(out["spheres"], out["quads"], out["triangles"], mats)
+    lights = _build_lights(out["spheres"], out["quads"], out["triangles"])
+
+    media = []
+    for node, sub in out["media"]:
+        boundary = _build_solids(sub["spheres"], sub["quads"],
+                                 sub["triangles"], mats)
+        media.append(Medium(
+            boundary=boundary,
+            neg_inv_density=jnp.float32(node.neg_inv_density),
+            mat=jnp.int32(mats.add(node.phase_material)),
+        ))
+
+    return CompiledScene(
+        solids=solids,
+        media=tuple(media),
+        lights=lights,
+        materials=mats.build(),
+        textures=arena.build(),
+        bg_color=jnp.asarray(np.asarray(scene.background_color, np.float32)),
+        camera=compile_camera(scene.camera, scene.render_config.width,
+                              scene.render_config.height),
+    )

@@ -1,0 +1,203 @@
+"""Fixture scenes mirroring the reference golden suite
+(``/root/reference/tests/scenes.rs``) — same geometry, materials, cameras."""
+from __future__ import annotations
+
+import numpy as np
+
+from solstrale_tpu import (Blend, Bvh, CameraConfig, ConstantMedium,
+                           Dielectric, DiffuseLight, ImageMap, Lambertian,
+                           NopTransformer, Quad, RotationY, Scene, SolidColor,
+                           Sphere, Transformations, Translation, Triangle,
+                           load_normal_texture, new_box)
+
+REF = "/root/reference"
+
+
+def tex(name):
+    return f"{REF}/resources/textures/{name}"
+
+
+def create_test_scene(render_config):
+    """Kitchen-sink scene (scenes.rs:17-122): quads, glass sphere, boxes,
+    constant medium, triangle grid, three light types."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.1,
+                          look_from=(-5.0, 3.0, 6.0), look_at=(0.25, 1.0, 0.0))
+    world = []
+    image_tex = ImageMap.load(tex("tex.jpg"))
+    ground = Lambertian(image_tex)
+    glass = Dielectric(SolidColor(1.0, 1.0, 1.0), None, 1.5)
+    light = DiffuseLight(10.0, 10.0, 10.0)
+    red = Lambertian(SolidColor(1.0, 0.0, 0.0))
+
+    world.append(Quad((-5, 0, -15), (20, 0, 0), (0, 0, 20), ground))
+    world.append(Sphere((-1, 1, 0), 1.0, glass))
+    world += new_box((0, 0, -0.5), (1, 2, 0.5), red, RotationY(15.0))
+    world.append(ConstantMedium(
+        Bvh(new_box((0, 0, -0.5), (1, 2, 0.5), red, Translation((0, 0, 1)))),
+        0.1, (1, 1, 1)))
+    world += new_box((-1, 2, 0), (-0.5, 2.5, 0.5), red)
+
+    balls = []
+    for ii in range(0, 10, 2):
+        i = ii * 0.1
+        for jj in range(0, 10, 2):
+            j = jj * 0.1
+            for kk in range(0, 10, 2):
+                k = kk * 0.1
+                balls.append(Triangle((i, j + 0.05, k + 0.8), (i, j, k + 0.8),
+                                      (i, j + 0.05, k), red))
+    world.append(Bvh(balls))
+    world.append(Triangle((1, 0.1, 2), (3, 0.1, 2), (2, 0.1, 1), red))
+
+    # lights
+    world.append(Sphere((10, 5, 10), 10.0, light))
+    world.append(Quad((0, 0, 0), (2, 0, 0), (0, 0, 2), light,
+                      Transformations([RotationY(45.0),
+                                       Translation((-1, 10, -1))])))
+    world.append(Triangle((-2, 1, -3), (0, 1, -3), (-1, 2, -3), light))
+
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def new_bvh_test_scene(render_config, use_bvh, num_triangles):
+    """Parameterized triangle-row scene (scenes.rs:125-167)."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.1,
+                          look_from=(-0.5, 0.0, 4.0), look_at=(-0.5, 0.0, 0.0))
+    world = [Sphere((0, 4, 10), 4.0, DiffuseLight(10.0, 10.0, 10.0))]
+    yellow = Lambertian(SolidColor(1.0, 1.0, 0.0))
+    tris = []
+    for x in range(num_triangles):
+        cx = x - num_triangles / 2.0
+        t = Triangle((cx, -0.5, 0), (cx + 1, -0.5, 0), (cx + 0.5, 0.5, 0), yellow)
+        (tris if use_bvh else world).append(t)
+    if use_bvh:
+        world.append(Bvh(tris))
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def create_simple_test_scene(render_config, add_light=True):
+    """One sphere + one sphere light (scenes.rs:170-193)."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.1,
+                          look_from=(0.0, 0.0, 4.0), look_at=(0.0, 0.0, 0.0))
+    world = []
+    if add_light:
+        world.append(Sphere((0, 100, 0), 20.0, DiffuseLight(10.0, 10.0, 10.0)))
+    world.append(Sphere((0, 0, 0), 0.5, Lambertian(SolidColor(1.0, 1.0, 0.0))))
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def create_uv_scene(render_config):
+    """Wrapping/negative UV triangle (scenes.rs:196-230)."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.0,
+                          look_from=(0.0, 1.0, 5.0), look_at=(0.0, 1.0, 0.0))
+    world = [Sphere((50, 50, 50), 20.0, DiffuseLight(10.0, 10.0, 10.0))]
+    checker = Lambertian(ImageMap.load(tex("checker.jpg")))
+    world.append(Triangle.new_with_tex_coords(
+        (-1, 0, 0), (1, 0, 0), (0, 2, 0),
+        (-1, -1), (2, -1), (0, 2), checker))
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def create_normal_mapping_scene(render_config, light_pos, enabled):
+    """Quad with wall normal map (scenes.rs:233-280)."""
+    camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
+                          look_from=(0.2, 0.2, 2.0), look_at=(0.0, 0.0, 0.0))
+    world = [Sphere(light_pos, 5.0, DiffuseLight(45.0, 45.0, 45.0))]
+    normal_tex = load_normal_texture(tex("normal.png")) if enabled else None
+    mat = Lambertian(SolidColor(0.8, 0.8, 0.8), normal_tex)
+    red = Lambertian(SolidColor(1.0, 0.0, 0.0))
+    world += new_box((-0.1, -0.1, 0), (0.1, 0.1, 1), red)
+    world.append(Quad((-1, -1, 0), (2, 0, 0), (0, 2, 0), mat))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_normal_mapping_sphere_scene(render_config, light_pos):
+    """Sphere with earth height map as bump (scenes.rs:283-315)."""
+    camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
+                          look_from=(0.2, 0.2, 2.0), look_at=(0.0, 0.0, 0.0))
+    world = [Sphere(light_pos, 5.0, DiffuseLight(45.0, 45.0, 45.0))]
+    mat = Lambertian(SolidColor(0.8, 0.8, 0.8),
+                     load_normal_texture(tex("earth_height.jpg")))
+    world.append(Sphere((0, 0, 0), 0.6, mat))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_obj_scene(render_config):
+    """Spider OBJ with textures (scenes.rs:318-352)."""
+    from solstrale_tpu.scene.loader import Obj
+
+    camera = CameraConfig(vertical_fov_degrees=30.0, aperture_size=20.0,
+                          look_from=(-250.0, 30.0, 150.0),
+                          look_at=(-50.0, 0.0, 0.0))
+    world = [Sphere((-100, 100, 40), 35.0, DiffuseLight(15.0, 15.0, 15.0))]
+    world.append(Obj(f"{REF}/resources/spider/", "spider.obj")
+                 .load(NopTransformer(), None))
+    ground = Lambertian(ImageMap.load(tex("tex.jpg")))
+    world.append(Quad((-200, -30, -200), (400, 0, 0), (0, 0, 400), ground))
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def create_obj_with_box(render_config, path, filename):
+    """Box OBJ with default/diffuse material (scenes.rs:355-381)."""
+    from solstrale_tpu.scene.loader import Obj
+
+    camera = CameraConfig(vertical_fov_degrees=30.0, aperture_size=0.0,
+                          look_from=(2.0, 1.0, 3.0), look_at=(0.0, 0.0, 0.0))
+    world = [Sphere((-100, 100, 40), 35.0, DiffuseLight(15.0, 15.0, 15.0))]
+    red = Lambertian(SolidColor(1.0, 0.0, 0.0))
+    world.append(Obj(path, filename).load(NopTransformer(), red))
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def create_obj_with_triangle(render_config, path, filename):
+    """Triangle OBJ with normal/height bump map (scenes.rs:384-409)."""
+    from solstrale_tpu.scene.loader import Obj
+
+    camera = CameraConfig(vertical_fov_degrees=30.0, aperture_size=0.0,
+                          look_from=(0.0, 0.0, 2.0), look_at=(0.0, 0.0, 0.0))
+    world = [Sphere((100, 0, 100), 35.0, DiffuseLight(15.0, 15.0, 15.0))]
+    world.append(Obj(path, filename).load(NopTransformer(), None))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_light_attenuation_scene(render_config, attenuation_half_length):
+    """Small light + spheres on a red quad (scenes.rs:412-449)."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.0,
+                          look_from=(0.0, 1.0, 2.0), look_at=(0.0, 0.2, 0.0))
+    light = DiffuseLight(25.0, 25.0, 25.0,
+                         attenuation_half_length=attenuation_half_length)
+    world = [
+        Sphere((0, 0.2, 0), 0.03, light),
+        Sphere((0.25, 0.1, 0.25), 0.1, Lambertian(SolidColor(0, 1, 0))),
+        Sphere((0.25, 0.1, -0.5), 0.1, Lambertian(SolidColor(0, 0, 1))),
+        Sphere((-0.1, 0.1, -0.1), 0.1,
+               Dielectric(SolidColor(0.8, 0.8, 0.8), None, 1.5)),
+        Quad((-1, 0, -1), (2, 0, 0), (0, 0, 2),
+             Lambertian(SolidColor(1, 0, 0))),
+    ]
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_quad_rotation_scene(render_config, rotation):
+    """Rotated ground quad under a sphere light (scenes.rs:452-479)."""
+    world = [
+        Quad((-100, 0, -100), (200, 0, 0), (0, 0, 200),
+             Lambertian(SolidColor(0, 1, 0)), rotation),
+        Sphere((100, 300, -500), 50.0, DiffuseLight(15.0, 15.0, 15.0)),
+    ]
+    camera = CameraConfig(vertical_fov_degrees=35.0,
+                          look_from=(0.0, 200.0, -500.0))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_blend_material_scene(render_config, blend_factor):
+    """Checker/green blend ground (scenes.rs:482-513)."""
+    world = [
+        Quad((-100, 0, -100), (200, 0, 0), (0, 0, 200),
+             Blend(Lambertian(ImageMap.load(tex("checker.jpg"))),
+                   Lambertian(SolidColor(0, 1, 0)), blend_factor)),
+        Sphere((0, 500, -200), 50.0, DiffuseLight(15.0, 15.0, 15.0)),
+    ]
+    camera = CameraConfig(vertical_fov_degrees=35.0,
+                          look_from=(0.0, 400.0, -100.0))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
