@@ -41,7 +41,8 @@ def render_linear(cs: CompiledScene, *, width, height, max_depth, n_samples,
         color, _, _ = integrator.render_pixels(
             cs, pix, sample_start + sample_off, jnp.int32(seed),
             width=width, height=height, max_depth=max_depth,
-            shader_kind=integrator.SHADER_PATH, need_aux=False)
+            shader_kind=integrator.SHADER_PATH, need_aux=False,
+            early_exit=False)
         return color
 
     colors = jax.lax.map(one, jnp.arange(n_samples, dtype=jnp.int32))
@@ -77,24 +78,26 @@ def train_step_sharded(cs: CompiledScene, target, mesh, *, width, height,
     n_tile = mesh.shape["tile"]
     n_pix = width * height
     n_padded = (n_pix + n_tile - 1) // n_tile * n_tile
-    pix_all = jnp.minimum(jnp.arange(n_padded, dtype=jnp.int32), n_pix - 1)
+    ids = jnp.arange(n_padded, dtype=jnp.int32)
+    pix_all = jnp.minimum(ids, n_pix - 1)
+    valid_all = (ids < n_pix).astype(jnp.float32)
     tgt = target.reshape(-1, 3)
     tgt_padded = jnp.concatenate(
         [tgt, jnp.zeros((n_padded - n_pix, 3), tgt.dtype)], axis=0)
     sample_offsets = jnp.arange(mesh.shape["sample"], dtype=jnp.int32)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("tile"), P("tile"), P("sample")),
+             in_specs=(P(), P("tile"), P("tile"), P("tile"), P("sample")),
              out_specs=(P(), P()))
-    def step(cs_rep, pix_shard, tgt_shard, sample_off):
-        valid = (pix_shard <= jnp.max(pix_shard)).astype(jnp.float32)
+    def step(cs_rep, pix_shard, tgt_shard, valid, sample_off):
 
         def loss_fn(params):
             color, _, _ = integrator.render_pixels(
                 set_texture_params(cs_rep, params), pix_shard,
                 1 + sample_off[0], jnp.int32(seed),
                 width=width, height=height, max_depth=max_depth,
-                shader_kind=integrator.SHADER_PATH, need_aux=False)
+                shader_kind=integrator.SHADER_PATH, need_aux=False,
+                early_exit=False)
             err = (color - tgt_shard) ** 2 * valid[:, None]
             return jnp.sum(err)
 
@@ -106,5 +109,6 @@ def train_step_sharded(cs: CompiledScene, target, mesh, *, width, height,
         new_params = cs_rep.textures.pixels - lr * grad / denom
         return loss / denom, new_params
 
-    loss, new_params = step(cs, pix_all, tgt_padded, sample_offsets)
+    loss, new_params = step(cs, pix_all, tgt_padded, valid_all,
+                            sample_offsets)
     return loss, set_texture_params(cs, new_params)

@@ -77,8 +77,14 @@ def shading_normal_of(cs, mat_id, attrs):
 
 def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
     """world.hit equivalent: closest solid hit + constant-medium events.
-    Returns (t, kind, idx) with kind=KIND_MEDIUM for volume scattering."""
-    t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+    Returns (t, kind, idx) with kind=KIND_MEDIUM for volume scattering.
+    Uses the flattened LBVH when the compiled scene carries one."""
+    if cs.bvh is not None:
+        from ..accel import bvh_closest_hit
+
+        t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, o, d, RAY_T_MIN, INF)
+    else:
+        t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
     for m_i, med in enumerate(cs.media):
         u = rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i, seed)
         t_m = medium_hit(med, o, d, t, u)
@@ -291,29 +297,66 @@ def camera_rays(cs: CompiledScene, pix, width, height, sample, seed):
     return pix, origin, direction
 
 
-def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth):
-    """Full path trace of a ray wavefront → linear color (R, 3)."""
+def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
+          early_exit=True):
+    """Full path trace of a ray wavefront → linear color (R, 3).
+
+    early_exit=True runs a while_loop that stops once every ray has
+    terminated (the common case is ≤5 bounces of a 50 cap) — the wavefront
+    analogue of the reference's recursion simply returning. The scan variant
+    (early_exit=False) has a fixed trip count and is reverse-differentiable
+    (used by the diff module as the path-replay backward).
+    """
     n = o.shape[0]
+    # derive the init state from o so every carry component is varying over
+    # any shard_map mesh axes the inputs are varying over
+    zero = o[:, 0] * 0.0
+    zero3 = o * 0.0
     carry = (o, d,
-             jnp.ones(n, bool),            # alive
-             jnp.zeros(n, jnp.float32),    # accumulated ray length
-             jnp.zeros((n, 3), jnp.float32),  # terminal color
-             jnp.zeros(n, jnp.float32),    # terminal attenuation factor
-             jnp.zeros(n, jnp.float32))    # terminal accumulated length
+             zero == zero,   # alive (all True)
+             zero,           # accumulated ray length
+             zero3,          # terminal color
+             zero,           # terminal attenuation factor
+             zero)           # terminal accumulated length
 
-    def step(carry, bounce):
-        return bounce_step(cs, carry, bounce, pix, sample, seed)
+    if early_exit:
+        zl = jnp.broadcast_to(zero, (max_depth, n))
+        tape0 = (jnp.broadcast_to(zero3, (max_depth, n, 3)),
+                 zl, zl > 1.0, zl > 1.0)
 
-    carry, tape = jax.lax.scan(step, carry, jnp.arange(max_depth))
+        def cond(state):
+            bounce, carry, _ = state
+            return (bounce < max_depth) & jnp.any(carry[2])
+
+        def body(state):
+            bounce, carry, tape = state
+            carry, entry = bounce_step(cs, carry, bounce, pix, sample, seed)
+            tape = tuple(t.at[bounce].set(e) for t, e in zip(tape, entry))
+            return bounce + 1, carry, tape
+
+        _, carry, tape = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry, tape0))
+    else:
+        def step(carry, bounce):
+            return bounce_step(cs, carry, bounce, pix, sample, seed)
+
+        carry, tape = jax.lax.scan(step, carry, jnp.arange(max_depth))
     o_f, d_f, alive, _, term_color, term_af, term_acc = carry
 
     # Depth-cap resolution (renderer/mod.rs:164-206 at depth == max_depth):
     # a still-alive ray that hits something shades to black (shader.rs:70-72),
     # a miss still returns the background color.
-    t, _, _ = scene_hit(cs, o_f, d_f, pix, sample, max_depth, seed)
-    final_miss = alive & ~jnp.isfinite(t)
-    term_color = jnp.where(final_miss[..., None], cs.bg_color, term_color)
-    term_af = jnp.where(final_miss, 0.0, term_af)
+    def cap(args):
+        o_f, d_f, alive, term_color, term_af = args
+        t, _, _ = scene_hit(cs, o_f, d_f, pix, sample, max_depth, seed)
+        final_miss = alive & ~jnp.isfinite(t)
+        term_color = jnp.where(final_miss[..., None], cs.bg_color, term_color)
+        term_af = jnp.where(final_miss, 0.0, term_af)
+        return term_color, term_af
+
+    term_color, term_af = jax.lax.cond(
+        jnp.any(alive), cap, lambda args: (args[3], args[4]),
+        (o_f, d_f, alive, term_color, term_af))
 
     color = unwind_tape(tape, term_color)
     # top-level get_attenuated_color (material/mod.rs:124-132)
@@ -378,14 +421,15 @@ SHADER_SIMPLE = 3
 
 
 def render_pixels(cs: CompiledScene, pix, sample, seed, *, width, height,
-                  max_depth, shader_kind, need_aux):
+                  max_depth, shader_kind, need_aux, early_exit=True):
     """Render an arbitrary wavefront of pixel ids → (color, albedo, normal)
     linear colors of shape (R, 3). This is the sharding unit: pixel ids are
     the only per-ray input, and the counter-based RNG keys off them, so any
     tile/row partition of the id space renders bit-identically."""
     _, o, d = camera_rays(cs, pix, width, height, sample, seed)
     if shader_kind == SHADER_PATH:
-        color = trace(cs, o, d, pix, sample, seed, max_depth)
+        color = trace(cs, o, d, pix, sample, seed, max_depth,
+                      early_exit=early_exit)
     elif shader_kind == SHADER_ALBEDO:
         color = shade_albedo(cs, o, d, pix, sample, seed)
     elif shader_kind == SHADER_NORMAL:

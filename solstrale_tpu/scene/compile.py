@@ -145,6 +145,7 @@ class CompiledScene:
     textures: TexArena
     bg_color: jnp.ndarray   # (3,)
     camera: CameraSoA
+    bvh: object = None      # accel.Bvh when the scene is large enough
 
 
 class SceneError(ValueError):
@@ -383,8 +384,16 @@ def compile_camera(camera, width, height):
                      lens_radius=j(camera.aperture_size / 2.0))
 
 
-def compile_scene(scene: Scene) -> CompiledScene:
+# primitive count above which the flattened LBVH is built (below it, the
+# chunked brute-force sweep is faster on vector hardware)
+BVH_THRESHOLD = 64
+
+
+def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     """Flatten a Scene into a CompiledScene of device arrays.
+
+    use_bvh: None = auto (build LBVH when the solid count exceeds
+    BVH_THRESHOLD), True/False = force.
 
     Raises SceneError("Scene should have at least one light") like
     renderer/mod.rs:143-147.
@@ -408,6 +417,14 @@ def compile_scene(scene: Scene) -> CompiledScene:
             mat=jnp.int32(mats.add(node.phase_material)),
         ))
 
+    n_solids = (len(out["spheres"]) + len(out["quads"])
+                + len(out["triangles"]))
+    bvh = None
+    if use_bvh or (use_bvh is None and n_solids > BVH_THRESHOLD):
+        from ..accel import build_bvh
+
+        bvh = build_bvh(solids)
+
     return CompiledScene(
         solids=solids,
         media=tuple(media),
@@ -417,4 +434,5 @@ def compile_scene(scene: Scene) -> CompiledScene:
         bg_color=jnp.asarray(np.asarray(scene.background_color, np.float32)),
         camera=compile_camera(scene.camera, scene.render_config.width,
                               scene.render_config.height),
+        bvh=bvh,
     )

@@ -1,0 +1,145 @@
+"""Golden-image integration suite mirroring the reference's
+integration_tests.rs. Both images are blur-downsampled to 100x50 before
+comparison, so renders use reduced resolutions/spp to keep the CPU suite
+fast while staying above the reference's 0.95 similarity bar.
+
+Aspect ratios match the goldens (squash-resize must distort both images
+identically)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import reference_path
+from golden_utils import compare_output, render_and_compare
+from scenes import (create_blend_material_scene,
+                    create_light_attenuation_scene,
+                    create_normal_mapping_scene,
+                    create_normal_mapping_sphere_scene, create_obj_scene,
+                    create_obj_with_box, create_obj_with_triangle,
+                    create_quad_rotation_scene, create_simple_test_scene,
+                    create_test_scene, create_uv_scene)
+from solstrale_tpu import (RenderConfig, RotationX, RotationY, RotationZ,
+                           SimpleShader)
+
+
+def cfg(width, height, spp, **kw):
+    return RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                        seed=1, **kw)
+
+
+def test_render_scene_path_tracing():
+    scene = create_test_scene(cfg(200, 100, 25))
+    render_and_compare(scene, "pathTracing")
+
+
+def test_render_scene_simple_shader():
+    scene = create_test_scene(cfg(200, 100, 10, shader=SimpleShader()))
+    render_and_compare(scene, "simple")
+
+
+def test_render_simple_scene():
+    # the reference exercises this scene through its OIDN test
+    # (integration_tests.rs:47-61); compare against that golden
+    scene = create_simple_test_scene(cfg(200, 100, 20))
+    render_and_compare(scene, "simple_scene", expected_name="oidn")
+
+
+def test_render_uv_mapping():
+    scene = create_uv_scene(cfg(128, 128, 5))
+    render_and_compare(scene, "uv")
+
+
+@pytest.mark.parametrize("light_pos,enabled,name", [
+    ((30.0, 30.0, 30.0), False, "normal_mapping_disabled"),
+    ((30.0, 30.0, 30.0), True, "normal_mapping_1"),
+    ((-30.0, 30.0, 30.0), True, "normal_mapping_2"),
+])
+def test_render_normal_mapping(light_pos, enabled, name):
+    scene = create_normal_mapping_scene(cfg(128, 128, 25), light_pos, enabled)
+    render_and_compare(scene, name)
+
+
+@pytest.mark.parametrize("light_pos,name", [
+    ((-30.0, 30.0, 30.0), "normal_mapping_sphere_1"),
+    ((30.0, 30.0, 30.0), "normal_mapping_sphere_2"),
+])
+def test_render_normal_mapping_sphere(light_pos, name):
+    scene = create_normal_mapping_sphere_scene(cfg(128, 128, 25), light_pos)
+    render_and_compare(scene, name)
+
+
+def test_render_obj_with_textures():
+    scene = create_obj_scene(cfg(200, 100, 10))
+    render_and_compare(scene, "obj")
+
+
+def test_render_obj_with_default_material():
+    scene = create_obj_with_box(cfg(200, 100, 25),
+                                reference_path("resources/obj") + "/",
+                                "box.obj")
+    render_and_compare(scene, "obj_default")
+
+
+def test_render_obj_with_diffuse_material():
+    scene = create_obj_with_box(cfg(200, 100, 25),
+                                reference_path("resources/obj") + "/",
+                                "boxWithMat.obj")
+    render_and_compare(scene, "obj_diffuse")
+
+
+def test_render_obj_with_normal_map():
+    scene = create_obj_with_triangle(cfg(128, 128, 25),
+                                     reference_path("resources/obj") + "/",
+                                     "triWithNormalMap.obj")
+    render_and_compare(scene, "obj_normal_map")
+
+
+def test_render_obj_with_height_map():
+    scene = create_obj_with_triangle(cfg(128, 128, 25),
+                                     reference_path("resources/obj") + "/",
+                                     "triWithHeightMap.obj")
+    render_and_compare(scene, "obj_height_map")
+
+
+@pytest.mark.parametrize("half_length,name", [
+    (0.1, "light_attenuation_0.1"),
+    (0.8, "light_attenuation_0.8"),
+    (None, "light_attenuation_-1"),
+])
+def test_render_light_attenuation(half_length, name):
+    scene = create_light_attenuation_scene(cfg(128, 128, 30), half_length)
+    render_and_compare(scene, name)
+
+
+@pytest.mark.parametrize("i,rotation", [
+    (0, RotationX(40.0)), (1, RotationY(40.0)), (2, RotationZ(40.0)),
+])
+def test_aabb_of_rotated_quad(i, rotation):
+    scene = create_quad_rotation_scene(
+        cfg(128, 128, 1, shader=SimpleShader()), rotation)
+    render_and_compare(scene, f"quad_rotated{i}")
+
+
+@pytest.mark.parametrize("blend_factor,name", [
+    (0.0, "blended_materials_0"),
+    (0.5, "blended_materials_0.5"),
+    (1.0, "blended_materials_1"),
+])
+def test_blended_materials(blend_factor, name):
+    scene = create_blend_material_scene(cfg(128, 128, 15), blend_factor)
+    render_and_compare(scene, name)
+
+
+def test_bloom():
+    """Pure post-process golden on a static input image
+    (integration_tests.rs:239-254)."""
+    from solstrale_tpu.post import BloomPostProcessor
+
+    post = BloomPostProcessor(0.2)
+    img = np.asarray(Image.open(
+        reference_path("resources/textures/bloom.png")).convert("RGB"))
+    h, w = img.shape[:2]
+    pixel_colors = img.astype(np.float32) / 255.0
+    out = post.post_process(pixel_colors, np.zeros_like(pixel_colors),
+                            np.zeros_like(pixel_colors), w, h, 1)
+    compare_output(out, "bloom")
