@@ -23,7 +23,7 @@ class BloomPostProcessor(PostProcessor):
         self.kernel_size_fraction = float(kernel_size_fraction)
         # default threshold = |(1,1,1)| (bloom.rs:38)
         self.threshold = float(np.sqrt(3.0)) if threshold is None else float(threshold)
-        self.max_intensity = (np.finfo(np.float64).max if max_intensity is None
+        self.max_intensity = (float("inf") if max_intensity is None
                               else float(max_intensity))
 
     def intermediate_post_process(self, pixel_sums, albedo_sums, normal_sums,

@@ -56,7 +56,7 @@ class RenderConfig:
 
     def __init__(self, width=300, height=200, samples_per_pixel=50,
                  shader=None, post_processors=None,
-                 render_image_strategy=None, seed=0):
+                 render_image_strategy=None, seed=0, samples_per_batch=1):
         from .shader import PathTracingShader
 
         self.width = int(width)
@@ -66,6 +66,9 @@ class RenderConfig:
         self.post_processors = list(post_processors or [])
         self.render_image_strategy = render_image_strategy or OnlyFinal()
         self.seed = int(seed)
+        # samples fused into one device program per progress step; raise to
+        # amortize dispatch overhead when per-sample progress isn't needed
+        self.samples_per_batch = int(samples_per_batch)
 
     def needs_albedo_and_normal_colors(self):
         return any(p.needs_albedo_and_normal_colors()
@@ -106,13 +109,17 @@ class Renderer:
         start = time.monotonic()
         last_image_time = -1e30
 
-        for sample in range(1, spp + 1):
+        sample = 0
+        while sample < spp:
+            batch = min(cfg.samples_per_batch, spp - sample)
             if abort is not None and abort():
                 return
-            color, albedo, normal = integrator.render_sample(
-                self.compiled, jnp.int32(sample), jnp.int32(cfg.seed),
+            color, albedo, normal = integrator.render_sample_batch(
+                self.compiled, jnp.int32(sample + 1), jnp.int32(cfg.seed),
                 width=w, height=h, max_depth=cfg.shader.max_depth,
-                shader_kind=cfg.shader.kind, need_aux=need_aux)
+                shader_kind=cfg.shader.kind, need_aux=need_aux,
+                n_samples=batch)
+            sample += batch
             pixel_sums = pixel_sums + color
             if need_aux:
                 albedo_sums = albedo_sums + albedo

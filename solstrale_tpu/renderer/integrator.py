@@ -461,3 +461,28 @@ def render_sample(cs: CompiledScene, sample, seed, *, width, height,
         return c.reshape(height, width, 3)[::-1]
 
     return to_image(color), to_image(albedo), to_image(normal)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "shader_kind", "need_aux", "n_samples"))
+def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
+                        height, max_depth, shader_kind, need_aux, n_samples):
+    """Accumulate n_samples consecutive sample passes in ONE device program
+    (a fori_loop over samples) — amortizes dispatch overhead and lets XLA
+    pipeline across passes. Returns summed (pixel, albedo, normal) planes."""
+    pix = jnp.arange(width * height, dtype=jnp.int32)
+
+    def body(i, acc):
+        color, albedo, normal = render_pixels(
+            cs, pix, sample_start + i, seed, width=width, height=height,
+            max_depth=max_depth, shader_kind=shader_kind, need_aux=need_aux)
+        return (acc[0] + color, acc[1] + albedo, acc[2] + normal)
+
+    zero = jnp.zeros((width * height, 3), jnp.float32)
+    color, albedo, normal = jax.lax.fori_loop(
+        0, n_samples, body, (zero, zero, zero))
+
+    def to_image(c):
+        return c.reshape(height, width, 3)[::-1]
+
+    return to_image(color), to_image(albedo), to_image(normal)

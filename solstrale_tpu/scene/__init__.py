@@ -133,6 +133,60 @@ def _safe_tangent(v):
     return v / n if n > 0 else np.array([1.0, 0.0, 0.0])
 
 
+class TriangleMesh(Hittable):
+    """Array-backed triangle soup sharing one material — the scalable ingest
+    path for large OBJ meshes. Per-face quantities are precomputed
+    vectorized (numpy), matching Triangle's semantics exactly
+    (triangle.rs:53-96) without per-face Python objects.
+    """
+
+    def __init__(self, verts, material: Material, uvs=None,
+                 transformation: Transformer = _NOP):
+        verts = np.asarray(verts, np.float64)  # (N, 3, 3)
+        if not isinstance(transformation, NopTransformer):
+            flat = verts.reshape(-1, 3)
+            flat = np.stack([transformation.transform(v, False) for v in flat])
+            verts = flat.reshape(verts.shape)
+        n = verts.shape[0]
+        self.uvs = (np.zeros((n, 3, 2)) if uvs is None
+                    else np.asarray(uvs, np.float64))
+        self.v0 = verts[:, 0]
+        self.e1 = verts[:, 1] - verts[:, 0]
+        self.e2 = verts[:, 2] - verts[:, 0]
+        nvec = np.cross(self.e1, self.e2)
+        nlen = np.linalg.norm(nvec, axis=-1)
+        safe = np.maximum(nlen, 1e-30)[:, None]
+        self.normal = np.where(nlen[:, None] > 0, nvec / safe,
+                               [[0.0, 0.0, 1.0]])
+        self.area = nlen / 2.0
+
+        duv1 = self.uvs[:, 1] - self.uvs[:, 0]
+        duv2 = self.uvs[:, 2] - self.uvs[:, 0]
+        denom = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        ok = np.abs(denom) > 1e-20
+        r = 1.0 / np.where(ok, denom, 1.0)
+        t = (self.e1 * duv2[:, 1:2] - self.e2 * duv1[:, 1:2]) * r[:, None]
+        b = (self.e2 * duv1[:, 0:1] - self.e1 * duv2[:, 0:1]) * r[:, None]
+
+        def norm_rows(x, fallback):
+            ln = np.linalg.norm(x, axis=-1)
+            good = ln > 0
+            out = np.where(good[:, None], x / np.maximum(ln, 1e-30)[:, None],
+                           fallback)
+            return out
+
+        e1n = norm_rows(self.e1, [[1.0, 0.0, 0.0]])
+        e2n = norm_rows(self.e2, [[0.0, 1.0, 0.0]])
+        self.tangent = np.where(ok[:, None], norm_rows(t, [[1.0, 0.0, 0.0]]),
+                                e1n)
+        self.bi_tangent = np.where(ok[:, None],
+                                   norm_rows(b, [[0.0, 1.0, 0.0]]), e2n)
+        self.material = material
+
+    def __len__(self):
+        return self.v0.shape[0]
+
+
 class ConstantMedium(Hittable):
     """Homogeneous participating medium bounded by arbitrary geometry;
     exponential free-flight sampling (constant_medium.rs:22-79)."""

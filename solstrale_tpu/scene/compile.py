@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import Bvh, ConstantMedium, Hittable, Quad, Scene, Sphere, Triangle
+from . import (Bvh, ConstantMedium, Hittable, Quad, Scene, Sphere, Triangle,
+               TriangleMesh)
 from .materials import (BLEND, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC,
                         LAMBERTIAN, METAL, Blend, Dielectric, DiffuseLight,
                         Isotropic, Lambertian, Metal)
@@ -161,7 +162,8 @@ def _walk(node, out, in_medium):
     elif isinstance(node, ConstantMedium):
         if in_medium:
             raise SceneError("nested constant media are not supported")
-        sub = {"spheres": [], "quads": [], "triangles": [], "media": None}
+        sub = {"spheres": [], "quads": [], "triangles": [], "meshes": [],
+               "media": None}
         _walk(node.boundary, sub, True)
         out["media"].append((node, sub))
     elif isinstance(node, Sphere):
@@ -170,6 +172,8 @@ def _walk(node, out, in_medium):
         out["quads"].append(node)
     elif isinstance(node, Triangle):
         out["triangles"].append(node)
+    elif isinstance(node, TriangleMesh):
+        out["meshes"].append(node)
     elif isinstance(node, Hittable):
         raise SceneError(f"unsupported hittable: {type(node).__name__}")
     else:
@@ -279,7 +283,7 @@ class _MatTableBuilder:
         )
 
 
-def _build_solids(spheres, quads, tris, mats):
+def _build_solids(spheres, quads, tris, mats, meshes=()):
     f32, i32 = np.float32, np.int32
     S = max(len(spheres), 1)
     sph_center = np.zeros((S, 3)); sph_radius = np.ones(S)
@@ -300,7 +304,8 @@ def _build_solids(spheres, quads, tris, mats):
         qd_mat[i] = mats.add(q.material)
         qd_valid[i] = True
 
-    T = max(len(tris), 1)
+    n_mesh_tris = sum(len(m) for m in meshes)
+    T = max(len(tris) + n_mesh_tris, 1)
     tr_v0 = np.zeros((T, 3)); tr_e1 = np.zeros((T, 3)); tr_e2 = np.zeros((T, 3))
     tr_uv0 = np.zeros((T, 2)); tr_uv1 = np.zeros((T, 2)); tr_uv2 = np.zeros((T, 2))
     tr_normal = np.tile(np.array([0.0, 0.0, 1.0]), (T, 1))
@@ -315,6 +320,19 @@ def _build_solids(spheres, quads, tris, mats):
         tr_area[i] = t.area
         tr_mat[i] = mats.add(t.material)
         tr_valid[i] = True
+    off = len(tris)
+    for m in meshes:  # vectorized block copy per mesh
+        k = len(m)
+        sl = slice(off, off + k)
+        tr_v0[sl], tr_e1[sl], tr_e2[sl] = m.v0, m.e1, m.e2
+        tr_uv0[sl], tr_uv1[sl], tr_uv2[sl] = (m.uvs[:, 0], m.uvs[:, 1],
+                                              m.uvs[:, 2])
+        tr_normal[sl], tr_tangent[sl] = m.normal, m.tangent
+        tr_bitangent[sl] = m.bi_tangent
+        tr_area[sl] = m.area
+        tr_mat[sl] = mats.add(m.material)
+        tr_valid[sl] = True
+        off += k
 
     j = lambda x: jnp.asarray(np.asarray(x, f32))
     ji = lambda x: jnp.asarray(np.asarray(x, i32))
@@ -333,7 +351,7 @@ def _build_solids(spheres, quads, tris, mats):
     )
 
 
-def _build_lights(spheres, quads, tris):
+def _build_lights(spheres, quads, tris, meshes=()):
     rows = []
     for s in spheres:
         if s.material.is_light:
@@ -347,6 +365,11 @@ def _build_lights(spheres, quads, tris):
         if t.material.is_light:
             rows.append((KIND_TRIANGLE, t.v0, t.e1, t.e2, 0.0, t.normal, 0.0,
                          np.zeros(3), t.area))
+    for m in meshes:
+        if m.material.is_light:
+            for i in range(len(m)):
+                rows.append((KIND_TRIANGLE, m.v0[i], m.e1[i], m.e2[i], 0.0,
+                             m.normal[i], 0.0, np.zeros(3), m.area[i]))
     if not rows:
         raise SceneError("Scene should have at least one light")
     j = lambda xs: jnp.asarray(np.asarray(xs, np.float32))
@@ -386,7 +409,7 @@ def compile_camera(camera, width, height):
 
 # primitive count above which the flattened LBVH is built (below it, the
 # chunked brute-force sweep is faster on vector hardware)
-BVH_THRESHOLD = 64
+BVH_THRESHOLD = 512
 
 
 def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
@@ -398,19 +421,22 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     Raises SceneError("Scene should have at least one light") like
     renderer/mod.rs:143-147.
     """
-    out = {"spheres": [], "quads": [], "triangles": [], "media": []}
+    out = {"spheres": [], "quads": [], "triangles": [], "meshes": [],
+           "media": []}
     _walk(scene.world, out, False)
 
     arena = _TexArenaBuilder()
     mats = _MatTableBuilder(arena)
 
-    solids = _build_solids(out["spheres"], out["quads"], out["triangles"], mats)
-    lights = _build_lights(out["spheres"], out["quads"], out["triangles"])
+    solids = _build_solids(out["spheres"], out["quads"], out["triangles"],
+                           mats, out["meshes"])
+    lights = _build_lights(out["spheres"], out["quads"], out["triangles"],
+                           out["meshes"])
 
     media = []
     for node, sub in out["media"]:
         boundary = _build_solids(sub["spheres"], sub["quads"],
-                                 sub["triangles"], mats)
+                                 sub["triangles"], mats, sub["meshes"])
         media.append(Medium(
             boundary=boundary,
             neg_inv_density=jnp.float32(node.neg_inv_density),
@@ -418,7 +444,7 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
         ))
 
     n_solids = (len(out["spheres"]) + len(out["quads"])
-                + len(out["triangles"]))
+                + len(out["triangles"]) + sum(len(m) for m in out["meshes"]))
     bvh = None
     if use_bvh or (use_bvh is None and n_solids > BVH_THRESHOLD):
         from ..accel import build_bvh

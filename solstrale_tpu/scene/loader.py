@@ -36,6 +36,11 @@ class Obj(Loader):
             raise FileNotFoundError(
                 f"failed to load obj model from {filepath}")
 
+        native_mesh = _try_native_parse(filepath)
+        if native_mesh is not None:
+            return self._load_native(native_mesh, transformation,
+                                     default_material, filepath)
+
         positions, texcoords, faces, mtllibs = _parse_obj(filepath)
 
         materials = {}
@@ -46,19 +51,7 @@ class Obj(Loader):
                     f"failed to load MTL file for {filepath}")
             materials.update(_parse_mtl(lib_path))
 
-        mat_map = {None: default_material}
-        for name, m in materials.items():
-            if m.get("map_kd"):
-                albedo = ImageMap.load(os.path.join(self.path, m["map_kd"]))
-            elif m.get("kd") is not None:
-                albedo = SolidColor(*m["kd"])
-            else:
-                albedo = SolidColor(1.0, 1.0, 1.0)
-            normal = None
-            if m.get("map_bump"):
-                normal = load_normal_texture(
-                    os.path.join(self.path, m["map_bump"]))
-            mat_map[name] = Lambertian(albedo, normal)
+        mat_map = _build_materials(materials, self.path, default_material)
 
         triangles = []
         for verts, uvs, mtl in faces:
@@ -76,6 +69,61 @@ class Obj(Loader):
                     tri_uv[0], tri_uv[1], tri_uv[2],
                     material, transformation))
         return Bvh(triangles)
+
+
+    def _load_native(self, mesh, transformation, default_material, filepath):
+        """Array-path ingest: native C++ parse → per-material TriangleMesh
+        blocks (no per-face Python objects). Semantics identical to the
+        Python path."""
+        from . import TriangleMesh
+
+        verts, uvs, tri_mat, mat_names, mtllibs, has_uvs = mesh
+
+        materials = {}
+        for lib in mtllibs:
+            lib_path = os.path.join(self.path, lib)
+            if not os.path.exists(lib_path):
+                raise FileNotFoundError(
+                    f"failed to load MTL file for {filepath}")
+            materials.update(_parse_mtl(lib_path))
+
+        mat_map = _build_materials(materials, self.path, default_material)
+
+        groups = []
+        import numpy as np
+
+        for mid in np.unique(tri_mat):
+            name = mat_names[mid] if mid >= 0 else None
+            material = mat_map.get(name, default_material)
+            sel = tri_mat == mid
+            groups.append(TriangleMesh(verts[sel], material,
+                                       uvs[sel] if has_uvs else None,
+                                       transformation))
+        return Bvh(groups)
+
+
+def _try_native_parse(filepath):
+    try:
+        from .. import native
+    except Exception:
+        return None
+    return native.parse_obj(filepath)
+
+
+def _build_materials(materials, path, default_material):
+    mat_map = {None: default_material}
+    for name, m in materials.items():
+        if m.get("map_kd"):
+            albedo = ImageMap.load(os.path.join(path, m["map_kd"]))
+        elif m.get("kd") is not None:
+            albedo = SolidColor(*m["kd"])
+        else:
+            albedo = SolidColor(1.0, 1.0, 1.0)
+        normal = None
+        if m.get("map_bump"):
+            normal = load_normal_texture(os.path.join(path, m["map_bump"]))
+        mat_map[name] = Lambertian(albedo, normal)
+    return mat_map
 
 
 def _parse_obj(filepath):
