@@ -39,12 +39,14 @@ def main():
             need_aux=False, n_samples=spp)
         return color
 
-    # warmup/compile
-    run(jnp.int32(100)).block_until_ready()
+    import numpy as np
+
+    # warmup/compile (np.asarray forces full completion — block_until_ready
+    # returns early under the axon remote backend)
+    np.asarray(run(jnp.int32(100)))
 
     t0 = time.perf_counter()
-    acc = run(jnp.int32(1))
-    acc.block_until_ready()
+    acc = np.asarray(run(jnp.int32(1)))
     dt = time.perf_counter() - t0
 
     # Rays/s counts actual path segments traced (primary + bounce), the

@@ -96,8 +96,48 @@ def _chunk_scan(fn, n_prims, r):
     return best_t, best_i
 
 
+def _mm(a, b):
+    """(R,3) x (3,P) matmul routed to the MXU."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _sphere_t_mxu(center, radius, valid, o, d, od, oo, dd, tmin, tmax):
+    """Sphere sweep in matmul form: the oc·d and |oc|² broadcasts expand to
+    D@Cᵀ / O@Cᵀ systolic products + per-ray scalars (sphere.rs:64-83)."""
+    ct = center.T  # (3, P)
+    half_b = od[:, None] - _mm(d, ct)
+    c2 = oo[:, None] - 2.0 * _mm(o, ct) + \
+        (jnp.sum(center * center, -1) - radius * radius)[None, :]
+    a = dd[:, None]
+    disc = half_b * half_b - a * c2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (-half_b - sq) / a
+    r2 = (-half_b + sq) / a
+    ok = (disc >= 0.0) & valid[None, :]
+    return jnp.where(ok & _contains(r1, tmin, tmax), r1,
+                     jnp.where(ok & _contains(r2, tmin, tmax), r2, INF))
+
+
+def _planar_t_mxu(n, dpl, g1, g1o, g2, g2o, is_tri, valid, o, d, tmin, tmax):
+    """Unified quad/tri sweep: plane-equation t + two affine barycentric
+    functionals, all as (R,3)x(3,P) matmuls. Containment rule selected per
+    prim (quad.rs:150-173 semantics for quads, triangle.rs:119-148 — via
+    the dual basis — for tris)."""
+    denom = _mm(d, n.T)
+    t = (dpl[None, :] - _mm(o, n.T)) / denom
+    u = _mm(o, g1.T) + t * _mm(d, g1.T) + g1o[None, :]
+    v = _mm(o, g2.T) + t * _mm(d, g2.T) + g2o[None, :]
+    contain = jnp.where(
+        is_tri[None, :],
+        (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0),
+        (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0))
+    ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid[None, :] & contain
+          & _contains(t, tmin, tmax))
+    return jnp.where(ok, t, INF)
+
+
 def closest_solid_hit(s: Solids, o, d, tmin, tmax):
-    """Closest hit over all solid tables.
+    """Closest hit over all solid tables (MXU-form sweeps).
 
     Returns (t, kind, idx); t = INF on miss. tmin/tmax broadcast over (R,).
     """
@@ -107,26 +147,32 @@ def closest_solid_hit(s: Solids, o, d, tmin, tmax):
     if jnp.ndim(tmax):
         tmax = tmax.reshape(r, 1)
 
-    ts, is_ = _chunk_scan(
-        lambda a, n: _sphere_t(s.sph_center[a:a + n], s.sph_radius[a:a + n],
-                               s.sph_valid[a:a + n], o, d, tmin, tmax),
-        s.sph_center.shape[0], r)
-    tq, iq = _chunk_scan(
-        lambda a, n: _quad_t(s.qd_q[a:a + n], s.qd_u[a:a + n], s.qd_v[a:a + n],
-                             s.qd_normal[a:a + n], s.qd_d[a:a + n],
-                             s.qd_w[a:a + n], s.qd_valid[a:a + n],
-                             o, d, tmin, tmax)[0],
-        s.qd_q.shape[0], r)
-    tt, it = _chunk_scan(
-        lambda a, n: _tri_t(s.tr_v0[a:a + n], s.tr_e1[a:a + n],
-                            s.tr_e2[a:a + n], s.tr_valid[a:a + n],
-                            o, d, tmin, tmax)[0],
-        s.tr_v0.shape[0], r)
+    od = jnp.sum(o * d, -1)
+    oo = jnp.sum(o * o, -1)
+    dd = jnp.sum(d * d, -1)
 
-    t = jnp.minimum(jnp.minimum(ts, tq), tt)
-    kind = jnp.where(t == ts, KIND_SPHERE,
-                     jnp.where(t == tq, KIND_QUAD, KIND_TRIANGLE)).astype(jnp.int32)
-    idx = jnp.where(t == ts, is_, jnp.where(t == tq, iq, it))
+    ts, is_ = _chunk_scan(
+        lambda a, n: _sphere_t_mxu(s.sph_center[a:a + n],
+                                   s.sph_radius[a:a + n],
+                                   s.sph_valid[a:a + n], o, d, od, oo, dd,
+                                   tmin, tmax),
+        s.sph_center.shape[0], r)
+    tp, ip = _chunk_scan(
+        lambda a, n: _planar_t_mxu(s.pl_n[a:a + n], s.pl_d[a:a + n],
+                                   s.pl_g1[a:a + n], s.pl_g1o[a:a + n],
+                                   s.pl_g2[a:a + n], s.pl_g2o[a:a + n],
+                                   s.pl_is_tri[a:a + n], s.pl_valid[a:a + n],
+                                   o, d, tmin, tmax),
+        s.pl_n.shape[0], r)
+
+    kind_p = jnp.where(s.pl_is_tri[ip], KIND_TRIANGLE, KIND_QUAD) \
+        .astype(jnp.int32)
+    idx_p = s.pl_idx[ip]
+
+    sphere_wins = ts <= tp
+    t = jnp.where(sphere_wins, ts, tp)
+    kind = jnp.where(sphere_wins, KIND_SPHERE, kind_p).astype(jnp.int32)
+    idx = jnp.where(sphere_wins, is_, idx_p)
     return t, kind, idx
 
 

@@ -47,7 +47,14 @@ def _pytree_dataclass(cls):
 
 @_pytree_dataclass
 class Solids:
-    """Typed solid-primitive tables. Padded rows are masked via *_valid."""
+    """Typed solid-primitive tables. Padded rows are masked via *_valid.
+
+    The ``pl_*`` columns are the MXU-form planar table: quads and triangles
+    unified as (plane equation, two affine barycentric functionals), so the
+    wavefront intersection sweep becomes six (R,3)x(3,P) matmuls plus a few
+    elementwise ops — the systolic-array-native formulation of
+    quad.rs:150-173 / triangle.rs:119-148.
+    """
 
     sph_center: jnp.ndarray   # (S, 3)
     sph_radius: jnp.ndarray   # (S,)
@@ -74,6 +81,18 @@ class Solids:
     tr_area: jnp.ndarray      # (T,)
     tr_mat: jnp.ndarray
     tr_valid: jnp.ndarray
+    # unified planar sweep table (quads then triangles)
+    pl_n: jnp.ndarray         # (Pp, 3) plane normal (unit for quads, raw
+    #                           e1xe2 for tris — preserves the reference's
+    #                           parallel-ray epsilon semantics)
+    pl_d: jnp.ndarray         # (Pp,) plane offset n·p0
+    pl_g1: jnp.ndarray        # (Pp, 3) first barycentric functional
+    pl_g1o: jnp.ndarray       # (Pp,)
+    pl_g2: jnp.ndarray        # (Pp, 3)
+    pl_g2o: jnp.ndarray       # (Pp,)
+    pl_is_tri: jnp.ndarray    # (Pp,) bool — containment rule selector
+    pl_idx: jnp.ndarray       # (Pp,) int32 index into the typed table
+    pl_valid: jnp.ndarray     # (Pp,) bool
 
 
 @_pytree_dataclass
@@ -334,6 +353,51 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
         tr_valid[sl] = True
         off += k
 
+    # --- unified planar functional table (quads then tris), host f64 ---
+    Pp = Q + T
+    pl_n = np.zeros((Pp, 3)); pl_n[:, 2] = 1.0
+    pl_d = np.zeros(Pp)
+    pl_g1 = np.zeros((Pp, 3)); pl_g1o = np.zeros(Pp)
+    pl_g2 = np.zeros((Pp, 3)); pl_g2o = np.zeros(Pp)
+    pl_is_tri = np.zeros(Pp, bool)
+    pl_idx = np.zeros(Pp, i32)
+    pl_valid = np.zeros(Pp, bool)
+    for i in range(Q):
+        if not qd_valid[i]:
+            continue
+        n_raw = np.cross(qd_u[i], qd_v[i])
+        nn = float(np.dot(n_raw, n_raw))
+        if nn <= 0:
+            continue
+        # quads use the UNIT normal in the eps test (quad.rs:151-155)
+        pl_n[i] = qd_normal[i]
+        pl_d[i] = qd_d[i]
+        g1 = np.cross(qd_v[i], n_raw) / nn      # u = (hp-q)·(v×n)/|n|²
+        g2 = np.cross(n_raw, qd_u[i]) / nn      # v = (hp-q)·(n×u)/|n|²
+        pl_g1[i], pl_g1o[i] = g1, -np.dot(qd_q[i], g1)
+        pl_g2[i], pl_g2o[i] = g2, -np.dot(qd_q[i], g2)
+        pl_idx[i] = i
+        pl_valid[i] = True
+    for i in range(T):
+        if not tr_valid[i]:
+            continue
+        n_raw = np.cross(tr_e1[i], tr_e2[i])
+        nn = float(np.dot(n_raw, n_raw))
+        if nn <= 0:
+            continue
+        # tris use the RAW normal: |d·(e1×e2)| == Möller's |det|
+        # (triangle.rs:119-125)
+        k = Q + i
+        pl_n[k] = n_raw
+        pl_d[k] = np.dot(n_raw, tr_v0[i])
+        g1 = np.cross(tr_e2[i], n_raw) / nn     # dual basis of (e1, e2)
+        g2 = np.cross(n_raw, tr_e1[i]) / nn
+        pl_g1[k], pl_g1o[k] = g1, -np.dot(tr_v0[i], g1)
+        pl_g2[k], pl_g2o[k] = g2, -np.dot(tr_v0[i], g2)
+        pl_is_tri[k] = True
+        pl_idx[k] = i
+        pl_valid[k] = True
+
     j = lambda x: jnp.asarray(np.asarray(x, f32))
     ji = lambda x: jnp.asarray(np.asarray(x, i32))
     jb = lambda x: jnp.asarray(x)
@@ -348,6 +412,9 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
         tr_normal=j(tr_normal), tr_tangent=j(tr_tangent),
         tr_bitangent=j(tr_bitangent), tr_area=j(tr_area), tr_mat=ji(tr_mat),
         tr_valid=jb(tr_valid),
+        pl_n=j(pl_n), pl_d=j(pl_d), pl_g1=j(pl_g1), pl_g1o=j(pl_g1o),
+        pl_g2=j(pl_g2), pl_g2o=j(pl_g2o), pl_is_tri=jb(pl_is_tri),
+        pl_idx=ji(pl_idx), pl_valid=jb(pl_valid),
     )
 
 
