@@ -176,8 +176,25 @@ def closest_solid_hit(s: Solids, o, d, tmin, tmax):
     return t, kind, idx
 
 
+def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
+    """Gather-free row lookup: rows of `table` selected by `idx` via an
+    exact one-hot (R, P) x (P, K) matmul (MXU). TPU gathers run ~1 element
+    per cycle on the scalar unit; this runs on the systolic array."""
+    r = idx.shape[0]
+    out = jnp.zeros((r, table.shape[1]), jnp.float32)
+    for a in range(0, n_rows, chunk):
+        size = min(chunk, n_rows - a)
+        cols = jnp.arange(a, a + size, dtype=idx.dtype)
+        oh = (idx[:, None] == cols[None, :]).astype(jnp.float32)
+        out = out + jnp.dot(oh, table[a:a + size],
+                            preferred_element_type=jnp.float32)
+    return out
+
+
 def hit_attributes(s: Solids, o, d, t, kind, idx):
-    """Gather/recompute full hit attributes for winning (kind, idx, t).
+    """Recompute full hit attributes for winning (kind, idx, t) — fully
+    gather-free: winner parameters come from one-hot matmuls over the
+    compile-time attribute tables, derived quantities are recomputed.
 
     Mirrors RayHit construction in sphere.rs:84-107 / quad.rs:164-193 /
     triangle.rs:142-172: geometric normal flipped to face the ray, tangent
@@ -185,9 +202,18 @@ def hit_attributes(s: Solids, o, d, t, kind, idx):
     Returns dict of (R,·) arrays.
     """
     point = o + d * t[..., None]
+    n_q = s.qd_q.shape[0]
+    n_pl = s.pl_attr.shape[0]
+    n_sph = s.sph_attr.shape[0]
 
-    # --- sphere candidate ---
-    c = s.sph_center[idx]
+    is_s = (kind == KIND_SPHERE)
+    planar_slot = jnp.where(kind == KIND_TRIANGLE, n_q + idx, idx)
+    planar_slot = jnp.clip(planar_slot, 0, n_pl - 1)
+    ap = onehot_matmul(planar_slot, n_pl, s.pl_attr)
+    asp = onehot_matmul(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr)
+
+    # --- sphere derived (sphere.rs:84-107) ---
+    c = asp[:, 0:3]
     n_raw = point - c
     n_unit = unit(n_raw)
     front_s = dot(d, n_unit) < 0.0
@@ -198,56 +224,29 @@ def hit_attributes(s: Solids, o, d, t, kind, idx):
     unit_y = jnp.asarray([0.0, 1.0, 0.0], n_raw.dtype)
     tangent_s = unit(cross(jnp.broadcast_to(unit_y, n_raw.shape), n_raw))
     bitangent_s = cross(n_raw, tangent_s)  # unnormalized, as in sphere.rs:89-90
-    mat_s = s.sph_mat[idx]
+    mat_s = asp[:, 4]
 
-    # --- quad candidate ---
-    qq, qu, qv = s.qd_q[idx], s.qd_u[idx], s.qd_v[idx]
-    qn, qw = s.qd_normal[idx], s.qd_w[idx]
-    pv_vec = point - qq
-    uq = dot(qw, cross(pv_vec, qv))
-    vq = dot(qw, cross(qu, pv_vec))
-    uv_q = jnp.stack([uq, vq], -1)
-    front_q = dot(d, qn) < 0.0
-    normal_q = jnp.where(front_q[..., None], qn, -qn)
-    tangent_q = unit(qu)
-    bitangent_q = unit(qv)
-    mat_q = s.qd_mat[idx]
+    # --- planar derived (quad.rs:164-193 / triangle.rs:142-172) ---
+    n = ap[:, 0:3]
+    bu = dot(point, ap[:, 3:6]) + ap[:, 6]
+    bv = dot(point, ap[:, 7:10]) + ap[:, 10]
+    tangent_p = ap[:, 11:14]
+    bitangent_p = ap[:, 14:17]
+    uv_p = ap[:, 17:19] + bu[..., None] * ap[:, 19:21] \
+        + bv[..., None] * ap[:, 21:23]
+    mat_p = ap[:, 23]
+    front_p = dot(d, n) < 0.0
+    normal_p = jnp.where(front_p[..., None], n, -n)
 
-    # --- triangle candidate ---
-    v0, e1, e2 = s.tr_v0[idx], s.tr_e1[idx], s.tr_e2[idx]
-    p_vec = cross(d, e2)
-    det = dot(e1, p_vec)
-    inv_det = 1.0 / det
-    t_vec = o - v0
-    q_vec = cross(t_vec, e1)
-    bu = dot(t_vec, p_vec) * inv_det
-    bv = dot(d, q_vec) * inv_det
-    b0 = 1.0 - bu - bv
-    uv0, uv1, uv2 = s.tr_uv0[idx], s.tr_uv1[idx], s.tr_uv2[idx]
-    uv_t = b0[..., None] * uv0 + bu[..., None] * uv1 + bv[..., None] * uv2
-    tn = s.tr_normal[idx]
-    front_t = dot(d, tn) < 0.0
-    normal_t = jnp.where(front_t[..., None], tn, -tn)
-    tangent_t = s.tr_tangent[idx]
-    bitangent_t = s.tr_bitangent[idx]
-    mat_t = s.tr_mat[idx]
-
-    is_s = (kind == KIND_SPHERE)
-    is_q = (kind == KIND_QUAD)
-
-    def sel(a, b, c_):
-        cond_s = is_s.reshape(is_s.shape + (1,) * (a.ndim - is_s.ndim))
-        cond_q = is_q.reshape(is_q.shape + (1,) * (a.ndim - is_q.ndim))
-        return jnp.where(cond_s, a, jnp.where(cond_q, b, c_))
-
+    m = is_s[..., None]
     return dict(
         point=point,
-        normal=sel(normal_s, normal_q, normal_t),
-        tangent=sel(tangent_s, tangent_q, tangent_t),
-        bitangent=sel(bitangent_s, bitangent_q, bitangent_t),
-        uv=sel(uv_s, uv_q, uv_t),
-        front_face=sel(front_s, front_q, front_t),
-        mat=sel(mat_s, mat_q, mat_t),
+        normal=jnp.where(m, normal_s, normal_p),
+        tangent=jnp.where(m, tangent_s, tangent_p),
+        bitangent=jnp.where(m, bitangent_s, bitangent_p),
+        uv=jnp.where(m, uv_s, uv_p),
+        front_face=jnp.where(is_s, front_s, front_p),
+        mat=jnp.where(is_s, mat_s, mat_p).astype(jnp.int32),
     )
 
 
@@ -328,11 +327,12 @@ def sample_light_direction(lights: Lights, o, pick, r1, r2):
     from . import rng as _rng
     from ..geo import onb_from_w, onb_local
 
-    kind = lights.kind[pick]
-    p0 = lights.p0[pick]
-    p1 = lights.p1[pick]
-    p2 = lights.p2[pick]
-    radius = lights.radius[pick]
+    la = onehot_matmul(pick, lights.attr.shape[0], lights.attr)
+    kind = la[:, 0].astype(jnp.int32)
+    p0 = la[:, 1:4]
+    p1 = la[:, 4:7]
+    p2 = la[:, 7:10]
+    radius = la[:, 10]
 
     # sphere: cone towards center
     to_c = p0 - o

@@ -30,7 +30,7 @@ from ..geo import (INF, RAY_T_MIN, cross, dot, onb_from_w, onb_local,
                    reflect, refract, unit)
 from ..ops import rng
 from ..ops.intersect import (closest_solid_hit, hit_attributes,
-                             light_pdf_values, medium_hit,
+                             light_pdf_values, medium_hit, onehot_matmul,
                              sample_light_direction)
 from ..scene.compile import (BLEND, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC,
                              KIND_MEDIUM, LAMBERTIAN, METAL, CompiledScene)
@@ -39,13 +39,28 @@ MAX_BLEND_DEPTH = 3
 _MEDIUM_PURPOSE_BASE = 16  # per-medium free-flight draw purposes
 
 
+def mat_row(mats, mat_id):
+    """Per-ray material parameters via one-hot matmul (gather-free)."""
+    a = onehot_matmul(mat_id, mats.attr.shape[0], mats.attr)
+    return dict(kind=a[:, 0].astype(jnp.int32),
+                albedo_tex=a[:, 1].astype(jnp.int32),
+                normal_tex=a[:, 2].astype(jnp.int32),
+                fuzz=a[:, 3], ior=a[:, 4], atten=a[:, 5],
+                blend_factor=a[:, 6],
+                blend_m1=a[:, 7].astype(jnp.int32),
+                blend_m2=a[:, 8].astype(jnp.int32))
+
+
 def sample_texture(tex, tex_id, uv):
     """Arena texture lookup: nearest neighbor, abs-wrap, flipped v
-    (texture.rs:167-180). tex_id = -1 returns black (callers mask)."""
+    (texture.rs:167-180). tex_id = -1 returns black (callers mask).
+    Texture metadata resolves via one-hot; only the final arena pixel fetch
+    is a true gather."""
     tid = jnp.maximum(tex_id, 0)
-    w = tex.w[tid]
-    h = tex.h[tid]
-    off = tex.offset[tid]
+    ta = onehot_matmul(tid, tex.attr.shape[0], tex.attr)
+    off = ta[:, 0].astype(jnp.int32)
+    w = ta[:, 1].astype(jnp.int32)
+    h = ta[:, 2].astype(jnp.int32)
     u = jnp.abs(uv[..., 0]) % 1.0
     v = 1.0 - jnp.abs(uv[..., 1]) % 1.0
     x = (u * (w - 1).astype(jnp.float32)).astype(jnp.int32)
@@ -58,17 +73,18 @@ def resolve_blend(mats, mat_id, u_levels):
     """Walk blend chains: pick material_1 if U > blend_factor else material_2,
     independently per level (material/mod.rs:429-444)."""
     for lvl in range(MAX_BLEND_DEPTH):
-        is_blend = mats.kind[mat_id] == BLEND
-        pick1 = u_levels[lvl] > mats.blend_factor[mat_id]
-        nxt = jnp.where(pick1, mats.blend_m1[mat_id], mats.blend_m2[mat_id])
+        row = mat_row(mats, mat_id)
+        is_blend = row["kind"] == BLEND
+        pick1 = u_levels[lvl] > row["blend_factor"]
+        nxt = jnp.where(pick1, row["blend_m1"], row["blend_m2"])
         mat_id = jnp.where(is_blend, nxt, mat_id)
     return mat_id
 
 
-def shading_normal_of(cs, mat_id, attrs):
+def shading_normal_of(cs, mat_id, attrs, row=None):
     """Material-transformed normal: tangent-space normal map applied through
     the hit ONB (material/mod.rs:386-389); identity without a map."""
-    ntex = cs.materials.normal_tex[mat_id]
+    ntex = (row or mat_row(cs.materials, mat_id))["normal_tex"]
     tex_n = sample_texture(cs.textures, ntex, attrs["uv"]) * 2.0 - 1.0
     mapped = onb_local(attrs["tangent"], attrs["bitangent"], attrs["normal"],
                        tex_n.astype(jnp.float32))
@@ -131,10 +147,12 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     u_bn = rng.uniform4(pix, sample, bounce, rng.P_BLEND_NORMAL, seed)
     eff_n = resolve_blend(mats, attrs["mat"], u_bn)
 
-    s_normal = shading_normal_of(cs, eff_n, attrs)
+    row = mat_row(mats, eff)
+    row_n = mat_row(mats, eff_n)
+    s_normal = shading_normal_of(cs, eff_n, attrs, row=row_n)
 
-    mk = mats.kind[eff]
-    albedo = sample_texture(cs.textures, mats.albedo_tex[eff], attrs["uv"])
+    mk = row["kind"]
+    albedo = sample_texture(cs.textures, row["albedo_tex"], attrs["uv"])
     albedo = albedo.astype(jnp.float32)
 
     is_light = mk == DIFFUSE_LIGHT
@@ -146,7 +164,7 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
 
     # --- emission (material/mod.rs:359-368) ---
     emit_color = jnp.where(attrs["front_face"][..., None], albedo, 0.0)
-    atten = mats.atten[eff]
+    atten = row["atten"]
 
     # --- pdf-mixture scatter (material/mod.rs:191-207, 396-410) ---
     r1, r2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_COSINE, seed)
@@ -181,10 +199,10 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     # --- metal (material/mod.rs:239-249) ---
     f1, f2, f3, _ = rng.uniform4(pix, sample, bounce, rng.P_FUZZ, seed)
     reflected = reflect(unit(d), s_normal)
-    metal_dir = reflected + rng.in_unit_sphere(f1, f2, f3) * mats.fuzz[eff][..., None]
+    metal_dir = reflected + rng.in_unit_sphere(f1, f2, f3) * row["fuzz"][..., None]
 
     # --- dielectric (material/mod.rs:279-316) ---
-    ior = mats.ior[eff]
+    ior = row["ior"]
     rr = jnp.where(attrs["front_face"], 1.0 / ior, ior)
     udir = unit(d)
     cos_t = jnp.minimum(dot(-udir, s_normal), 1.0)

@@ -93,6 +93,13 @@ class Solids:
     pl_is_tri: jnp.ndarray    # (Pp,) bool — containment rule selector
     pl_idx: jnp.ndarray       # (Pp,) int32 index into the typed table
     pl_valid: jnp.ndarray     # (Pp,) bool
+    # winner-attribute tables consumed via one-hot matmul (gather-free):
+    # sph_attr columns: center(0:3) radius(3) mat(4)
+    sph_attr: jnp.ndarray     # (S, 5)
+    # pl_attr columns: unit_normal(0:3) g1(3:6) g1o(6) g2(7:10) g2o(10)
+    #   tangent(11:14) bitangent(14:17) uv0(17:19) duv1(19:21) duv2(21:23)
+    #   mat(23) is_tri(24)
+    pl_attr: jnp.ndarray      # (Pp, 25)
 
 
 @_pytree_dataclass
@@ -122,6 +129,8 @@ class Lights:
     d: jnp.ndarray        # (L,)
     w: jnp.ndarray        # (L, 3)
     area: jnp.ndarray     # (L,)
+    # one-hot table for sampling: kind(0) p0(1:4) p1(4:7) p2(7:10) radius(10)
+    attr: jnp.ndarray     # (L, 11)
 
 
 @_pytree_dataclass
@@ -135,6 +144,9 @@ class Materials:
     blend_factor: jnp.ndarray  # (M,)
     blend_m1: jnp.ndarray      # (M,) int32
     blend_m2: jnp.ndarray      # (M,) int32
+    # one-hot-matmul table: kind(0) albedo_tex(1) normal_tex(2) fuzz(3)
+    # ior(4) atten(5) blend_factor(6) m1(7) m2(8)
+    attr: jnp.ndarray          # (M, 9)
 
 
 @_pytree_dataclass
@@ -143,6 +155,7 @@ class TexArena:
     offset: jnp.ndarray   # (Tt,) int32
     w: jnp.ndarray        # (Tt,) int32
     h: jnp.ndarray        # (Tt,) int32
+    attr: jnp.ndarray     # (Tt, 3) one-hot table: offset w h (as f32)
 
 
 @_pytree_dataclass
@@ -239,6 +252,8 @@ class _TexArenaBuilder:
             offset=jnp.asarray(self.offset, jnp.int32),
             w=jnp.asarray(self.w, jnp.int32),
             h=jnp.asarray(self.h, jnp.int32),
+            attr=jnp.asarray(
+                np.stack([self.offset, self.w, self.h], 1), jnp.float32),
         )
 
 
@@ -290,6 +305,10 @@ class _MatTableBuilder:
         def col(name, dtype):
             return jnp.asarray(np.array([r[name] for r in rows], dtype))
 
+        attr = np.array(
+            [[r["kind"], r["albedo_tex"], r["normal_tex"], r["fuzz"],
+              r["ior"], r["atten"], r["blend_factor"], r["blend_m1"],
+              r["blend_m2"]] for r in rows], np.float32)
         return Materials(
             kind=col("kind", np.int32),
             albedo_tex=col("albedo_tex", np.int32),
@@ -299,6 +318,7 @@ class _MatTableBuilder:
             blend_factor=col("blend_factor", np.float32),
             blend_m1=col("blend_m1", np.int32),
             blend_m2=col("blend_m2", np.int32),
+            attr=jnp.asarray(attr),
         )
 
 
@@ -398,6 +418,35 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
         pl_idx[k] = i
         pl_valid[k] = True
 
+    sph_attr = np.concatenate(
+        [sph_center, sph_radius[:, None],
+         sph_mat[:, None].astype(np.float64)], axis=1)
+
+    # quad uv == planar coordinates: uv0=(0,0) duv1=(1,0) duv2=(0,1) makes
+    # the triangle interpolation formula produce them directly
+    pl_tangent = np.zeros((Pp, 3)); pl_bitangent = np.zeros((Pp, 3))
+    pl_uv0 = np.zeros((Pp, 2)); pl_duv1 = np.zeros((Pp, 2))
+    pl_duv2 = np.zeros((Pp, 2)); pl_mat_col = np.zeros(Pp)
+    for i in range(Q):
+        un = np.linalg.norm(qd_u[i]); vn = np.linalg.norm(qd_v[i])
+        pl_tangent[i] = qd_u[i] / un if un > 0 else [1, 0, 0]
+        pl_bitangent[i] = qd_v[i] / vn if vn > 0 else [0, 1, 0]
+        pl_duv1[i] = [1.0, 0.0]; pl_duv2[i] = [0.0, 1.0]
+        pl_mat_col[i] = qd_mat[i]
+    for i in range(T):
+        k = Q + i
+        pl_tangent[k] = tr_tangent[i]
+        pl_bitangent[k] = tr_bitangent[i]
+        pl_uv0[k] = tr_uv0[i]
+        pl_duv1[k] = tr_uv1[i] - tr_uv0[i]
+        pl_duv2[k] = tr_uv2[i] - tr_uv0[i]
+        pl_mat_col[k] = tr_mat[i]
+    pl_unit_n = np.concatenate([qd_normal, tr_normal], axis=0)
+    pl_attr = np.concatenate(
+        [pl_unit_n, pl_g1, pl_g1o[:, None], pl_g2, pl_g2o[:, None],
+         pl_tangent, pl_bitangent, pl_uv0, pl_duv1, pl_duv2,
+         pl_mat_col[:, None], pl_is_tri[:, None].astype(np.float64)], axis=1)
+
     j = lambda x: jnp.asarray(np.asarray(x, f32))
     ji = lambda x: jnp.asarray(np.asarray(x, i32))
     jb = lambda x: jnp.asarray(x)
@@ -415,6 +464,7 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
         pl_n=j(pl_n), pl_d=j(pl_d), pl_g1=j(pl_g1), pl_g1o=j(pl_g1o),
         pl_g2=j(pl_g2), pl_g2o=j(pl_g2o), pl_is_tri=jb(pl_is_tri),
         pl_idx=ji(pl_idx), pl_valid=jb(pl_valid),
+        sph_attr=j(sph_attr), pl_attr=j(pl_attr),
     )
 
 
@@ -440,12 +490,19 @@ def _build_lights(spheres, quads, tris, meshes=()):
     if not rows:
         raise SceneError("Scene should have at least one light")
     j = lambda xs: jnp.asarray(np.asarray(xs, np.float32))
+    attr = np.concatenate(
+        [np.array([[r[0]] for r in rows], np.float32),
+         np.asarray([r[1] for r in rows], np.float32),
+         np.asarray([r[2] for r in rows], np.float32),
+         np.asarray([r[3] for r in rows], np.float32),
+         np.array([[r[4]] for r in rows], np.float32)], axis=1)
     return Lights(
         kind=jnp.asarray(np.array([r[0] for r in rows], np.int32)),
         p0=j([r[1] for r in rows]), p1=j([r[2] for r in rows]),
         p2=j([r[3] for r in rows]), radius=j([r[4] for r in rows]),
         normal=j([r[5] for r in rows]), d=j([r[6] for r in rows]),
         w=j([r[7] for r in rows]), area=j([r[8] for r in rows]),
+        attr=jnp.asarray(attr),
     )
 
 
