@@ -95,6 +95,17 @@ def ray_at(origin, direction, t):
     return origin + direction * t[..., None]
 
 
+def ray_shortest_distance(o1, d1, o2, d2):
+    """Shortest distance between two rays (geo/mod.rs:292-304), batched."""
+    n = cross(d1, d2)
+    od = o1 - o2
+    n_len = length(n)
+    parallel = n_len == 0.0
+    dist_parallel = length(cross(d1, od)) / length(d1)
+    dist_skew = dot(od, n) / jnp.where(parallel, 1.0, n_len)
+    return jnp.abs(jnp.where(parallel, dist_parallel, dist_skew))
+
+
 # --- host-side (numpy, f64) construction helpers -------------------------
 # Scene baking happens on the host in float64 to mirror the reference's f64
 # construction math before casting the compiled SoA tables to f32.

@@ -1,0 +1,99 @@
+"""Train the DenoiserCNN on this renderer's own output: noisy low-spp
+renders (+albedo/normal aux) → high-spp targets. The learned replacement for
+the reference's pretrained OIDN binary (post/oidn.rs), kept inside the
+differentiable graph.
+
+Usage: python -m solstrale_tpu.models.train_denoiser [steps] [out.pkl]
+"""
+from __future__ import annotations
+
+import pickle
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _training_scenes():
+    sys.path.insert(0, "tests")
+    from scenes import (create_light_attenuation_scene,
+                        create_simple_test_scene, create_test_scene)
+    from solstrale_tpu import RenderConfig
+
+    def cfg(spp):
+        return RenderConfig(width=128, height=128, samples_per_pixel=spp,
+                            seed=3)
+
+    return [
+        lambda spp: create_test_scene(cfg(spp)),
+        lambda spp: create_simple_test_scene(cfg(spp)),
+        lambda spp: create_light_attenuation_scene(cfg(spp), 0.8),
+    ]
+
+
+def _render_pair(make_scene, noisy_spp=4, clean_spp=128):
+    from ..renderer import integrator
+    from ..scene.compile import compile_scene
+    from ..utils import to_float
+
+    cs = compile_scene(make_scene(noisy_spp))
+    kw = dict(width=128, height=128, max_depth=50,
+              shader_kind=integrator.SHADER_PATH)
+    noisy, albedo, normal = integrator.render_sample_batch(
+        cs, jnp.int32(1), jnp.int32(3), need_aux=True, n_samples=noisy_spp,
+        **kw)
+    clean, _, _ = integrator.render_sample_batch(
+        cs, jnp.int32(1000), jnp.int32(3), need_aux=False,
+        n_samples=clean_spp, **kw)
+    return (np.asarray(to_float(noisy, noisy_spp)),
+            np.asarray(to_float(albedo, noisy_spp)),
+            np.asarray(normal) / noisy_spp,
+            np.asarray(to_float(clean, clean_spp)))
+
+
+def train(steps=300, out_path="solstrale_tpu/models/denoiser_weights.pkl"):
+    import optax
+
+    from .denoiser import DenoiserCNN
+
+    print("rendering training pairs...")
+    pairs = [_render_pair(m) for m in _training_scenes()]
+
+    model = DenoiserCNN()
+    params = model.init(jax.random.PRNGKey(0),
+                        *(jnp.asarray(p) for p in pairs[0][:3]))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, noisy, albedo, normal, clean):
+        def loss_fn(p):
+            out = model.apply(p, noisy, albedo, normal)
+            return jnp.mean(jnp.abs(out - clean))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(steps):
+        noisy, albedo, normal, clean = pairs[i % len(pairs)]
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(noisy),
+                                       jnp.asarray(albedo),
+                                       jnp.asarray(normal),
+                                       jnp.asarray(clean))
+        if i % 25 == 0:
+            print(f"step {i}: L1 {float(loss):.5f}")
+
+    with open(out_path, "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    print("saved", out_path)
+    return params
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    out = sys.argv[2] if len(sys.argv) > 2 else \
+        "solstrale_tpu/models/denoiser_weights.pkl"
+    train(steps, out)

@@ -90,11 +90,19 @@ class Renderer:
         if not self.post_processors:
             self.post_processors.append(NopPostProcessor())
 
-    def render(self, abort=None):
-        """Generator yielding RenderProgress per sample; `abort` is a
-        zero-arg callable checked between samples (the cooperative abort
-        channel of renderer/mod.rs:237-239)."""
+    def render(self, abort=None, resume_from=None, checkpoint_path=None,
+               checkpoint_every=0, profile_dir=None):
+        """Generator yielding RenderProgress per sample batch.
+
+        - `abort`: zero-arg callable checked between batches (the
+          cooperative abort channel of renderer/mod.rs:237-239);
+        - `resume_from`: path of a checkpoint to continue from;
+        - `checkpoint_path` + `checkpoint_every`: persist the accumulation
+          state every N samples (preemption tolerance);
+        - `profile_dir`: capture a JAX profiler (xprof) trace of the loop.
+        """
         from . import integrator
+        from .checkpoint import load_checkpoint, save_checkpoint
 
         cfg = self.config
         w, h = cfg.width, cfg.height
@@ -105,11 +113,23 @@ class Renderer:
         pixel_sums = jnp.zeros((h, w, 3), jnp.float32)
         albedo_sums = jnp.zeros((h, w, 3), jnp.float32)
         normal_sums = jnp.zeros((h, w, 3), jnp.float32)
+        sample = 0
+        if resume_from is not None:
+            ck = load_checkpoint(resume_from)
+            pixel_sums = jnp.asarray(ck["pixel_sums"])
+            albedo_sums = jnp.asarray(ck["albedo_sums"])
+            normal_sums = jnp.asarray(ck["normal_sums"])
+            sample = ck["samples_done"]
 
         start = time.monotonic()
         last_image_time = -1e30
+        profiler = None
+        if profile_dir is not None:
+            import jax
 
-        sample = 0
+            profiler = jax.profiler.trace(profile_dir)
+            profiler.__enter__()
+
         while sample < spp:
             batch = min(cfg.samples_per_batch, spp - sample)
             if abort is not None and abort():
@@ -124,6 +144,13 @@ class Renderer:
             if need_aux:
                 albedo_sums = albedo_sums + albedo
                 normal_sums = normal_sums + normal
+
+            if checkpoint_path and checkpoint_every and \
+                    (sample % checkpoint_every == 0 or sample == spp):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, pixel_sums, albedo_sums,
+                                normal_sums, sample, cfg.seed)
 
             now = time.monotonic()
             render_image = None
@@ -145,6 +172,9 @@ class Renderer:
                 estimated_time_left=elapsed / sample * (spp - sample),
                 render_image=render_image,
             )
+
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
 
     def render_final(self, abort=None):
         """Run to completion, return the final u8 image (H, W, 3)."""

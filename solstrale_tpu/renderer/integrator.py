@@ -481,24 +481,178 @@ def render_sample(cs: CompiledScene, sample, seed, *, width, height,
     return to_image(color), to_image(albedo), to_image(normal)
 
 
+def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
+                       *, width, height, max_depth):
+    """Regenerative wavefront: one lane per pixel; when a lane's path
+    terminates it unwinds its tape immediately and regenerates the next
+    sample's camera ray — keeping every VPU lane occupied until the whole
+    pixel's sample budget is spent. This is the occupancy fix for the
+    per-sample wavefront, whose while_loop runs until the single deepest
+    path dies (≈10% average occupancy).
+
+    The per-lane tape is a *ring buffer* indexed by the global iteration
+    counter: every lane pushes exactly one entry per iteration (garbage
+    entries masked by per-lane path_len), so the j-th-newest entry of every
+    lane lives at the same slot (it-1-j) mod D — pushes are O(n), not
+    O(D·n), and the exact nested clamp/NaN unwind (shader.rs:95-125) reads
+    slots newest-first. Returns the SUM of n_samples sample passes per lane,
+    (R, 3).
+    """
+    n = pix.shape[0]
+    zero = pix.astype(jnp.float32) * 0.0
+    zero3 = jnp.stack([zero, zero, zero], -1)
+
+    def cam_rays(sample_arr):
+        x = (pix % width).astype(jnp.float32)
+        y = (pix // width).astype(jnp.float32)
+        j1, j2, _, _ = rng.uniform4(pix, sample_arr, 0, rng.P_JITTER, seed)
+        u = (x + j1) / (width - 1)
+        v = (y + j2) / (height - 1)
+        cam = cs.camera
+        l1, l2, _, _ = rng.uniform4(pix, sample_arr, 0, rng.P_LENS, seed)
+        rd = rng.in_unit_disc(l1, l2) * cam.lens_radius
+        offset = cam.u[None, :] * rd[..., 0:1] + cam.v[None, :] * rd[..., 1:2]
+        offset = jnp.where(cam.lens_radius > 0.0, offset, 0.0)
+        o = cam.origin[None, :] + offset
+        d = (cam.lower_left[None, :] + cam.horizontal[None, :] * u[..., None]
+             + cam.vertical[None, :] * v[..., None]
+             - cam.origin[None, :] - offset)
+        return o, d
+
+    sample0 = zero.astype(jnp.int32) + sample_start
+    o0, d0 = cam_rays(sample0)
+
+    state = dict(
+        sample=sample0,                       # current sample id per lane
+        bounce=zero.astype(jnp.int32),        # current depth per lane
+        o=o0, d=d0,
+        acc_len=zero,
+        path_len=zero.astype(jnp.int32),      # valid tape entries
+        it=jnp.sum(zero).astype(jnp.int32),   # global iteration (ring ptr)
+        tape_color=jnp.broadcast_to(zero3, (max_depth, n, 3)),
+        tape_prob=jnp.broadcast_to(zero, (max_depth, n)),
+        tape_pdf=jnp.broadcast_to(zero, (max_depth, n)) > 1.0,
+        accum=zero3,                          # completed-sample color sum
+    )
+    sample_end = sample_start + n_samples
+
+    def cond(state):
+        return jnp.any(state["sample"] < sample_end)
+
+    def body(state):
+        o, d = state["o"], state["d"]
+        sample = state["sample"]
+        bounce = state["bounce"]
+        active = sample < sample_end
+
+        t, kind, idx = scene_hit(cs, o, d, pix, sample, bounce, seed)
+        finite = jnp.isfinite(t)
+        miss = active & ~finite
+        t_safe = jnp.where(finite, t, 0.0)
+        attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample,
+                                    bounce, seed)
+        sc = scatter(cs, o, d, attrs, pix, sample, bounce, seed)
+
+        capped = active & finite & (bounce >= max_depth)   # shader.rs:70-72
+        emit = active & finite & ~capped & sc["is_emission"]
+        scat = active & finite & ~capped & ~sc["is_emission"]
+        terminal = miss | capped | emit
+
+        total_len = state["acc_len"] + t_safe
+        term_color = jnp.where(miss[..., None], cs.bg_color,
+                               jnp.where(emit[..., None], sc["emit_color"],
+                                         0.0))
+        term_af = jnp.where(emit, sc["atten"], 0.0)
+        term_acc = jnp.where(emit, total_len, 0.0)
+
+        # --- masked unwind for terminal lanes (newest-first ring order) ---
+        path_len = state["path_len"]
+        it = state["it"]
+        max_len = jnp.max(jnp.where(terminal, path_len, 0))
+
+        def unwind_body(i, L):
+            valid = (i < path_len)
+            slot = jnp.mod(it - 1 - i, max_depth)
+            c = state["tape_color"][slot]
+            p = state["tape_prob"][slot]
+            is_pdf = state["tape_pdf"][slot]
+            cand = c * p[..., None] * L
+            cand = jnp.where(is_pdf[..., None], _filter_invalid(cand), cand)
+            return jnp.where(valid[..., None], cand, L)
+
+        L = jax.lax.fori_loop(0, max_len, unwind_body, term_color)
+        att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
+        accum = state["accum"] + jnp.where(terminal[..., None],
+                                           L * att[..., None], 0.0)
+
+        # --- regenerate terminal lanes / advance scattering lanes ---
+        new_sample = jnp.where(terminal, sample + 1, sample)
+        o_new, d_new = cam_rays(new_sample)
+        o2 = jnp.where(terminal[..., None], o_new,
+                       jnp.where(scat[..., None], attrs["point"], o))
+        d2 = jnp.where(terminal[..., None], d_new,
+                       jnp.where(scat[..., None], sc["new_dir"], d))
+        bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))
+        acc2 = jnp.where(terminal, 0.0,
+                         jnp.where(scat, total_len, state["acc_len"]))
+
+        # --- ring-buffer tape push (O(n) per iteration) ---
+        ptr = jnp.mod(it, max_depth)
+        tape_color = state["tape_color"].at[ptr].set(
+            jnp.where(scat[..., None], sc["tape_color"], 0.0))
+        tape_prob = state["tape_prob"].at[ptr].set(sc["prob"])
+        tape_pdf = state["tape_pdf"].at[ptr].set(sc["is_pdf"])
+        path_len2 = jnp.where(terminal, 0,
+                              jnp.where(scat,
+                                        jnp.minimum(path_len + 1, max_depth),
+                                        path_len))
+
+        return dict(sample=new_sample, bounce=bounce2, o=o2, d=d2,
+                    acc_len=acc2, path_len=path_len2, it=it + 1,
+                    tape_color=tape_color, tape_prob=tape_prob,
+                    tape_pdf=tape_pdf, accum=accum)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["accum"]
+
+
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
                                    "shader_kind", "need_aux", "n_samples"))
 def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
                         height, max_depth, shader_kind, need_aux, n_samples):
-    """Accumulate n_samples consecutive sample passes in ONE device program
-    (a fori_loop over samples) — amortizes dispatch overhead and lets XLA
-    pipeline across passes. Returns summed (pixel, albedo, normal) planes."""
+    """Accumulate n_samples consecutive sample passes in ONE device program.
+    The path-tracing shader uses the regenerative wavefront; debug shaders
+    and aux channels loop per sample. Returns summed (pixel, albedo, normal)
+    planes."""
     pix = jnp.arange(width * height, dtype=jnp.int32)
-
-    def body(i, acc):
-        color, albedo, normal = render_pixels(
-            cs, pix, sample_start + i, seed, width=width, height=height,
-            max_depth=max_depth, shader_kind=shader_kind, need_aux=need_aux)
-        return (acc[0] + color, acc[1] + albedo, acc[2] + normal)
-
     zero = jnp.zeros((width * height, 3), jnp.float32)
-    color, albedo, normal = jax.lax.fori_loop(
-        0, n_samples, body, (zero, zero, zero))
+
+    if shader_kind == SHADER_PATH:
+        color = trace_regenerative(cs, pix, sample_start, n_samples, seed,
+                                   width=width, height=height,
+                                   max_depth=max_depth)
+    else:
+        def body(i, acc):
+            c, _, _ = render_pixels(
+                cs, pix, sample_start + i, seed, width=width, height=height,
+                max_depth=max_depth, shader_kind=shader_kind, need_aux=False)
+            return acc + c
+
+        color = jax.lax.fori_loop(0, n_samples, body, zero)
+
+    if need_aux:
+        def aux_body(i, acc):
+            _, oo, dd = camera_rays(cs, pix, width, height, sample_start + i,
+                                    seed)
+            albedo, normal = first_hit_aux(cs, oo, dd, pix, sample_start + i,
+                                           seed)
+            return (acc[0] + albedo, acc[1] + normal)
+
+        albedo, normal = jax.lax.fori_loop(0, n_samples, aux_body,
+                                           (zero, zero))
+    else:
+        albedo = zero
+        normal = zero
 
     def to_image(c):
         return c.reshape(height, width, 3)[::-1]
