@@ -37,27 +37,26 @@ def main():
     cs = compile_scene(scene)
 
     def run(sample_start):
-        color, _, _ = integrator.render_sample_batch(
+        color, _, _, segs = integrator.render_sample_batch(
             cs, sample_start, jnp.int32(1), width=width, height=height,
             max_depth=max_depth, shader_kind=integrator.SHADER_PATH,
             need_aux=False, n_samples=spp)
-        return color
+        return color, segs
 
     import numpy as np
 
     # warmup/compile (np.asarray forces full completion — block_until_ready
     # returns early under the axon remote backend)
-    np.asarray(run(jnp.int32(100)))
+    np.asarray(run(jnp.int32(100))[0])
 
     t0 = time.perf_counter()
-    acc = np.asarray(run(jnp.int32(1)))
+    color, segs = run(jnp.int32(1))
+    color = np.asarray(color)
     dt = time.perf_counter() - t0
 
-    # Rays/s counts actual path segments traced (primary + bounce), the
-    # standard Mrays metric. Segment count is measured exactly once via an
-    # instrumented single-sample pass.
-    segs = measure_segments(cs, width, height, max_depth)
-    total_segments = segs * spp
+    # Rays/s counts actual path segments traced (primary + bounce rays),
+    # the standard Mrays metric; the integrator counts them exactly.
+    total_segments = float(segs)
     mrays = total_segments / dt / 1e6
 
     north_star = 100.0  # Mrays/s/chip (BASELINE.json)
@@ -67,37 +66,6 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / north_star, 4),
     }))
-
-
-def measure_segments(cs, width, height, max_depth):
-    """Count path segments (camera + bounce rays) in one sample pass."""
-    import jax
-
-    from solstrale_tpu.renderer import integrator as I
-
-    pix = jnp.arange(width * height, dtype=jnp.int32)
-
-    @jax.jit
-    def count(sample):
-        _, o, d = I.camera_rays(cs, pix, width, height, sample, jnp.int32(1))
-        n = o.shape[0]
-        zero = o[:, 0] * 0.0
-        carry = (o, d, zero == zero, zero, o * 0.0, zero, zero)
-        total = jnp.zeros((), jnp.float32)
-
-        def body(c, bounce):
-            carry, total = c
-            alive = carry[2]
-            segs = jnp.sum(alive.astype(jnp.float32))
-            carry, _ = I.bounce_step(cs, carry, bounce, pix, sample,
-                                     jnp.int32(1))
-            return (carry, total + segs), None
-
-        (carry, total), _ = jax.lax.scan(body, (carry, total),
-                                         jnp.arange(max_depth))
-        return total
-
-    return float(count(jnp.int32(1)))
 
 
 if __name__ == "__main__":

@@ -40,10 +40,10 @@ def _render_pair(make_scene, noisy_spp=4, clean_spp=128):
     cs = compile_scene(make_scene(noisy_spp))
     kw = dict(width=128, height=128, max_depth=50,
               shader_kind=integrator.SHADER_PATH)
-    noisy, albedo, normal = integrator.render_sample_batch(
+    noisy, albedo, normal, _ = integrator.render_sample_batch(
         cs, jnp.int32(1), jnp.int32(3), need_aux=True, n_samples=noisy_spp,
         **kw)
-    clean, _, _ = integrator.render_sample_batch(
+    clean, _, _, _ = integrator.render_sample_batch(
         cs, jnp.int32(1000), jnp.int32(3), need_aux=False,
         n_samples=clean_spp, **kw)
     return (np.asarray(to_float(noisy, noisy_spp)),

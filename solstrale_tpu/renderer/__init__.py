@@ -134,7 +134,7 @@ class Renderer:
             batch = min(cfg.samples_per_batch, spp - sample)
             if abort is not None and abort():
                 return
-            color, albedo, normal = integrator.render_sample_batch(
+            color, albedo, normal, _segs = integrator.render_sample_batch(
                 self.compiled, jnp.int32(sample + 1), jnp.int32(cfg.seed),
                 width=w, height=h, max_depth=cfg.shader.max_depth,
                 shader_kind=cfg.shader.kind, need_aux=need_aux,

@@ -533,6 +533,7 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         tape_prob=jnp.broadcast_to(zero, (max_depth, n)),
         tape_pdf=jnp.broadcast_to(zero, (max_depth, n)) > 1.0,
         accum=zero3,                          # completed-sample color sum
+        segments=jnp.sum(zero),               # rays traced (perf telemetry)
     )
     sample_end = sample_start + n_samples
 
@@ -610,10 +611,12 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         return dict(sample=new_sample, bounce=bounce2, o=o2, d=d2,
                     acc_len=acc2, path_len=path_len2, it=it + 1,
                     tape_color=tape_color, tape_prob=tape_prob,
-                    tape_pdf=tape_pdf, accum=accum)
+                    tape_pdf=tape_pdf, accum=accum,
+                    segments=state["segments"]
+                    + jnp.sum(active.astype(jnp.float32)))
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["accum"]
+    return state["accum"], state["segments"]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",
@@ -623,14 +626,14 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
     """Accumulate n_samples consecutive sample passes in ONE device program.
     The path-tracing shader uses the regenerative wavefront; debug shaders
     and aux channels loop per sample. Returns summed (pixel, albedo, normal)
-    planes."""
+    planes plus the traced-segment count (perf telemetry)."""
     pix = jnp.arange(width * height, dtype=jnp.int32)
     zero = jnp.zeros((width * height, 3), jnp.float32)
 
     if shader_kind == SHADER_PATH:
-        color = trace_regenerative(cs, pix, sample_start, n_samples, seed,
-                                   width=width, height=height,
-                                   max_depth=max_depth)
+        color, segments = trace_regenerative(
+            cs, pix, sample_start, n_samples, seed, width=width,
+            height=height, max_depth=max_depth)
     else:
         def body(i, acc):
             c, _, _ = render_pixels(
@@ -639,6 +642,7 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
             return acc + c
 
         color = jax.lax.fori_loop(0, n_samples, body, zero)
+        segments = jnp.float32(width * height * n_samples)
 
     if need_aux:
         def aux_body(i, acc):
@@ -657,4 +661,4 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
     def to_image(c):
         return c.reshape(height, width, 3)[::-1]
 
-    return to_image(color), to_image(albedo), to_image(normal)
+    return to_image(color), to_image(albedo), to_image(normal), segments
