@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: fused closest-hit sweep.
+
+One kernel invocation intersects a block of 1024 rays ((8,128) VPU lanes)
+against the whole scene — sphere table + unified planar table — entirely in
+VMEM, with the running (best_t, best_slot) carried in registers. Compared
+with the XLA sweep (ops/intersect.py) this fuses the full primitive loop
+into one pass with no (R,P) intermediates.
+
+The kernel is correctness-tested in interpreter mode on CPU
+(tests/test_pallas.py) and benchmarked standalone on TPU
+(tools/bench_pallas.py); the integrator can route through it via
+closest_solid_hit_pallas.
+
+Prim table layouts (f32):
+- spheres  (S, 8):  cx cy cz radius valid _ _ _
+- planar  (P, 16):  nx ny nz dpl  g1x g1y g1z g1o  g2x g2y g2z g2o
+                    is_tri valid _ _
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geo import ALMOST_ZERO, INF
+
+BLOCK = 1024
+_ROWS = 8
+_LANES = 128
+
+
+def _sweep_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
+                  sph_ref, pl_ref, out_t, out_slot, *, n_sph, n_pl):
+    o = (ox[...], oy[...], oz[...])
+    d = (dx[...], dy[...], dz[...])
+    tmin = tmin_ref[...]
+    tmax = tmax_ref[...]
+
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    od = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
+    oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+
+    best_t = jnp.full_like(tmax, INF)
+    best_slot = jnp.full(tmax.shape, -1, jnp.int32)
+
+    def sphere_body(p, carry):
+        best_t, best_slot = carry
+        cx = sph_ref[p, 0]
+        cy = sph_ref[p, 1]
+        cz = sph_ref[p, 2]
+        radius = sph_ref[p, 3]
+        valid = sph_ref[p, 4]
+        # oc·d / |oc|² expanded around precomputed per-ray scalars
+        cd = cx * d[0] + cy * d[1] + cz * d[2]
+        co = cx * o[0] + cy * o[1] + cz * o[2]
+        half_b = od - cd
+        c2 = oo - 2.0 * co + (cx * cx + cy * cy + cz * cz) - radius * radius
+        disc = half_b * half_b - dd * c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r1 = (-half_b - sq) / dd
+        r2 = (-half_b + sq) / dd
+        ok = (disc >= 0.0) & (valid > 0.5)
+        t = jnp.where(ok & (r1 >= tmin) & (r1 <= tmax), r1,
+                      jnp.where(ok & (r2 >= tmin) & (r2 <= tmax), r2, INF))
+        better = t < best_t
+        return (jnp.where(better, t, best_t),
+                jnp.where(better, p, best_slot))
+
+    best_t, best_slot = jax.lax.fori_loop(0, n_sph, sphere_body,
+                                          (best_t, best_slot))
+
+    def planar_body(p, carry):
+        best_t, best_slot = carry
+        nx = pl_ref[p, 0]
+        ny = pl_ref[p, 1]
+        nz = pl_ref[p, 2]
+        dpl = pl_ref[p, 3]
+        denom = nx * d[0] + ny * d[1] + nz * d[2]
+        t = (dpl - (nx * o[0] + ny * o[1] + nz * o[2])) / denom
+        hx = o[0] + t * d[0]
+        hy = o[1] + t * d[1]
+        hz = o[2] + t * d[2]
+        u = hx * pl_ref[p, 4] + hy * pl_ref[p, 5] + hz * pl_ref[p, 6] \
+            + pl_ref[p, 7]
+        v = hx * pl_ref[p, 8] + hy * pl_ref[p, 9] + hz * pl_ref[p, 10] \
+            + pl_ref[p, 11]
+        is_tri = pl_ref[p, 12] > 0.5
+        valid = pl_ref[p, 13] > 0.5
+        contain = jnp.where(is_tri,
+                            (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                            & (u + v <= 1.0),
+                            (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                            & (v <= 1.0))
+        ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid & contain
+              & (t >= tmin) & (t <= tmax) & (t < best_t))
+        return (jnp.where(ok, t, best_t),
+                jnp.where(ok, n_sph + p, best_slot))
+
+    best_t, best_slot = jax.lax.fori_loop(0, n_pl, planar_body,
+                                          (best_t, best_slot))
+
+    out_t[...] = best_t
+    out_slot[...] = best_slot
+
+
+def _pack_tables(solids):
+    """Device-side packing of Solids → kernel prim tables (cheap concats,
+    hoisted by jit)."""
+    s = solids
+    sph = jnp.concatenate([
+        s.sph_center, s.sph_radius[:, None],
+        s.sph_valid.astype(jnp.float32)[:, None],
+        jnp.zeros((s.sph_center.shape[0], 3), jnp.float32)], axis=1)
+    pln = jnp.concatenate([
+        s.pl_n, s.pl_d[:, None], s.pl_g1, s.pl_g1o[:, None],
+        s.pl_g2, s.pl_g2o[:, None],
+        s.pl_is_tri.astype(jnp.float32)[:, None],
+        s.pl_valid.astype(jnp.float32)[:, None],
+        jnp.zeros((s.pl_n.shape[0], 2), jnp.float32)], axis=1)
+    return sph, pln
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def closest_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
+    """Pallas-fused closest hit. Returns (t, slot) with slot < S for
+    spheres, S+planar_slot otherwise, -1 on miss (t=INF)."""
+    r = o.shape[0]
+    n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
+    pad = n_pad - r
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad),))
+        return x.reshape(n_pad // _LANES, _LANES)
+
+    ox, oy, oz = (prep(o[:, i]) for i in range(3))
+    dx, dy, dz = (prep(d[:, i]) for i in range(3))
+    tminb = prep(jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,)))
+    tmaxb = prep(jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)))
+    # padding rays have zero direction + [0, 0] interval; their results are
+    # sliced off below
+    sph, pln = _pack_tables(solids)
+    n_sph = sph.shape[0]
+    n_pl = pln.shape[0]
+
+    grid = (n_pad // BLOCK,)
+    ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    t, slot = pl.pallas_call(
+        functools.partial(_sweep_kernel, n_sph=n_sph, n_pl=n_pl),
+        grid=grid,
+        in_specs=[ray_spec] * 8 + [table_spec, table_spec],
+        out_specs=(ray_spec,
+                   pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((n_pad // _LANES, _LANES),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad // _LANES, _LANES),
+                                        jnp.int32)),
+        interpret=interpret,
+    )(ox, oy, oz, dx, dy, dz, tminb, tmaxb, sph, pln)
+
+    return t.reshape(-1)[:r], slot.reshape(-1)[:r]
+
+
+def closest_solid_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
+    """Drop-in for ops.intersect.closest_solid_hit via the Pallas kernel:
+    returns (t, kind, idx)."""
+    from ..scene.compile import KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE
+
+    t, slot = closest_hit_pallas(solids, o, d, tmin, tmax,
+                                 interpret=interpret)
+    n_sph = solids.sph_center.shape[0]
+    is_sphere = slot < n_sph
+    pslot = jnp.clip(slot - n_sph, 0, solids.pl_idx.shape[0] - 1)
+    kind = jnp.where(is_sphere, KIND_SPHERE,
+                     jnp.where(solids.pl_is_tri[pslot], KIND_TRIANGLE,
+                               KIND_QUAD)).astype(jnp.int32)
+    idx = jnp.where(is_sphere, jnp.maximum(slot, 0), solids.pl_idx[pslot])
+    return t, kind, idx

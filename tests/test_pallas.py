@@ -1,0 +1,36 @@
+"""Pallas kernel tests (interpreter mode on CPU): the fused sweep must agree
+with the XLA reference sweep."""
+import jax.numpy as jnp
+import numpy as np
+
+from scenes import create_test_scene
+from solstrale_tpu import RenderConfig
+from solstrale_tpu.geo import INF, RAY_T_MIN
+from solstrale_tpu.ops.intersect import closest_solid_hit
+from solstrale_tpu.ops.pallas_sweep import closest_solid_hit_pallas
+from solstrale_tpu.scene.compile import compile_scene
+
+
+def test_pallas_sweep_matches_xla():
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+
+    rng = np.random.default_rng(0)
+    n = 1500  # deliberately not a multiple of the block size
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    t_ref, k_ref, i_ref = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+    t_pal, k_pal, i_pal = closest_solid_hit_pallas(cs.solids, o, d,
+                                                   RAY_T_MIN, INF,
+                                                   interpret=True)
+
+    hit_ref = np.isfinite(np.asarray(t_ref))
+    hit_pal = np.isfinite(np.asarray(t_pal))
+    np.testing.assert_array_equal(hit_ref, hit_pal)
+    np.testing.assert_allclose(np.asarray(t_ref)[hit_ref],
+                               np.asarray(t_pal)[hit_ref], rtol=1e-5,
+                               atol=1e-5)
+    same = (np.asarray(k_ref) == np.asarray(k_pal)) & \
+        (np.asarray(i_ref) == np.asarray(i_pal))
+    assert same[hit_ref].mean() > 0.999
