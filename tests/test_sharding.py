@@ -69,6 +69,27 @@ def test_sharded_train_step():
                            np.asarray(cs.textures.pixels))
 
 
+def test_distributed_single_process():
+    """Multi-host helpers degrade gracefully to one process: global mesh over
+    the 8 virtual devices, progressive distributed render on host 0."""
+    from solstrale_tpu.parallel.distributed import (global_mesh, initialize,
+                                                    render_distributed,
+                                                    scaling_efficiency)
+
+    n, i = initialize()
+    assert (n, i) == (1, 0)
+    mesh = global_mesh()
+    assert mesh.shape["tile"] * mesh.shape["sample"] == 8
+
+    scene = create_simple_test_scene(
+        RenderConfig(width=32, height=16, samples_per_pixel=2, seed=1))
+    images = [img for prog, img in render_distributed(scene)]
+    assert images[-1] is not None and images[-1].shape == (16, 32, 3)
+
+    eff = scaling_efficiency({1: 100.0, 4: 360.0})
+    assert abs(eff[4] - 0.9) < 1e-9
+
+
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 

@@ -1,7 +1,8 @@
-"""Ablation profiler: times the integrator's per-bounce components on the
-current backend to locate bottlenecks. Run on TPU (default env) or CPU.
+"""Ablation profiler: times integrator components ON DEVICE (fori_loop of N
+iterations inside one jit, scalar output — no host-transfer or
+constant-folding contamination). Run on TPU (default env) or CPU.
 
-Usage: python tools/profile_tpu.py [width height spp]
+Usage: python tools/profile_tpu.py [width height iters]
 """
 import sys
 import time
@@ -13,75 +14,140 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-def timeit(name, fn, *args, iters=3):
-    np.asarray(fn(*args))  # compile
+
+def device_time(name, make_body, iters):
+    """Time `iters` on-device iterations of make_body(i, carry)->carry where
+    carry is a f32 scalar; returns seconds per iteration."""
+
+    @jax.jit
+    def run(seed):
+        return jax.lax.fori_loop(0, iters, make_body, seed)
+
+    float(run(jnp.float32(0.0)))  # compile+warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = np.asarray(fn(*args))
+    float(run(jnp.float32(1.0)))
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt * 1e3:9.2f} ms")
+    print(f"{name:44s} {dt * 1e3:9.3f} ms/iter")
     return dt
 
 
 def main():
     from scenes import create_test_scene
     from solstrale_tpu import RenderConfig
+    from solstrale_tpu.geo import INF, RAY_T_MIN
+    from solstrale_tpu.ops import rng
     from solstrale_tpu.ops.intersect import (closest_solid_hit,
                                              hit_attributes,
-                                             light_pdf_values, onehot_matmul)
+                                             light_pdf_values, medium_hit)
     from solstrale_tpu.renderer import integrator as I
     from solstrale_tpu.scene.compile import compile_scene
 
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 266
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     cfg = RenderConfig(width=width, height=height, samples_per_pixel=1)
     cs = compile_scene(create_test_scene(cfg))
     n = width * height
     pix = jnp.arange(n, dtype=jnp.int32)
-    _, o, d = I.camera_rays(cs, pix, width, height, jnp.int32(1), jnp.int32(1))
-    o, d = np.asarray(o), np.asarray(d)
-    o, d = jnp.asarray(o), jnp.asarray(d)
-    print(f"rays={n}  spheres={cs.solids.sph_valid.sum()}  "
-          f"planar={cs.solids.pl_valid.sum()}")
+    _, o0, d0 = I.camera_rays(cs, pix, width, height, jnp.int32(1),
+                              jnp.int32(1))
+    print(f"rays={n}  spheres={int(cs.solids.sph_valid.sum())}  "
+          f"planar={int(cs.solids.pl_valid.sum())}  iters={iters}")
 
-    f_hit = jax.jit(lambda o, d: closest_solid_hit(cs.solids, o, d, 1e-3,
-                                                   jnp.inf))
-    t_hit = timeit("closest_solid_hit (1 sweep)", f_hit, o, d)
+    def vary(seed_carry):
+        # make inputs depend on the carry so nothing constant-folds
+        return o0 + seed_carry * 1e-12, d0
 
-    t, kind, idx = f_hit(o, d)
-    t_ = jnp.where(jnp.isfinite(t), t, 0.0)
-    f_attr = jax.jit(lambda: hit_attributes(cs.solids, o, d, t_, kind, idx))
-    timeit("hit_attributes (one-hot)", f_attr)
+    def body_hit(i, c):
+        o, d = vary(c)
+        t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+        return c + jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)) * 1e-12
 
-    attrs = f_attr()
-    f_scat = jax.jit(lambda: I.scatter(cs, o, d, attrs, pix, jnp.int32(1),
-                                       jnp.int32(0), jnp.int32(1))["new_dir"])
-    timeit("scatter (full material dispatch)", f_scat)
+    t_hit = device_time("closest_solid_hit (solids sweep)", body_hit, iters)
 
-    f_lpdf = jax.jit(lambda: light_pdf_values(cs.lights, attrs["point"], d))
-    timeit("light_pdf_values", f_lpdf)
+    t0, kind0, idx0 = jax.jit(
+        lambda: closest_solid_hit(cs.solids, o0, d0, RAY_T_MIN, INF))()
+    ts0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
 
-    f_tex = jax.jit(lambda: I.sample_texture(
-        cs.textures, jnp.zeros(n, jnp.int32), attrs["uv"]))
-    timeit("sample_texture (arena gather)", f_tex)
+    def body_med(i, c):
+        o, d = vary(c)
+        u = rng.uniform(pix, 1, i, 16, 1)
+        acc = c
+        for med in cs.media:
+            tm = medium_hit(med, o, d, ts0, u)
+            acc = acc + jnp.sum(jnp.where(jnp.isfinite(tm), tm, 0.0)) * 1e-12
+        return acc
 
-    def full_step():
+    device_time("medium_hit (all media)", body_med, iters)
+
+    def body_attr(i, c):
+        o, d = vary(c)
+        attrs = hit_attributes(cs.solids, o, d, ts0 + c * 1e-12, kind0, idx0)
+        return c + jnp.sum(attrs["normal"]) * 1e-12
+
+    device_time("hit_attributes (one-hot)", body_attr, iters)
+
+    attrs0 = jax.jit(lambda: hit_attributes(cs.solids, o0, d0, ts0, kind0,
+                                            idx0))()
+
+    def body_scatter(i, c):
+        o, d = vary(c)
+        a = dict(attrs0)
+        a["point"] = attrs0["point"] + c * 1e-12
+        sc = I.scatter(cs, o, d, a, pix, 1, i, 1)
+        return c + jnp.sum(sc["new_dir"]) * 1e-12
+
+    device_time("scatter (materials+NEE+texture)", body_scatter, iters)
+
+    def body_lpdf(i, c):
+        p = attrs0["point"] + c * 1e-12
+        return c + jnp.sum(light_pdf_values(cs.lights, p, d0)) * 1e-12
+
+    device_time("light_pdf_values", body_lpdf, iters)
+
+    def body_tex(i, c):
+        uv = attrs0["uv"] + c * 1e-12
+        return c + jnp.sum(I.sample_texture(
+            cs.textures, jnp.zeros(n, jnp.int32), uv)) * 1e-12
+
+    device_time("sample_texture (arena gather)", body_tex, iters)
+
+    def body_rng(i, c):
+        u = rng.uniform4(pix, 1, i, 5, 1)
+        return c + jnp.sum(u[0]) * 1e-12
+
+    device_time("rng.uniform4", body_rng, iters)
+
+    def body_step(i, c):
+        o, d = vary(c)
         carry = (o, d, o[:, 0] == o[:, 0], o[:, 0] * 0, o * 0, o[:, 0] * 0,
                  o[:, 0] * 0)
-        carry, tape = I.bounce_step(cs, carry, jnp.int32(0), pix,
-                                    jnp.int32(1), jnp.int32(1))
-        return carry[0]
+        carry, _ = I.bounce_step(cs, carry, i, pix, jnp.int32(1),
+                                 jnp.int32(1))
+        return c + jnp.sum(carry[0]) * 1e-12
 
-    t_step = timeit("bounce_step (everything, 1 bounce)", jax.jit(full_step))
+    t_step = device_time("bounce_step (everything)", body_step, iters)
 
-    kw = dict(width=width, height=height, max_depth=50, shader_kind=0,
-              need_aux=False)
-    f_sample = jax.jit(lambda: I.render_sample(cs, jnp.int32(1), jnp.int32(1),
-                                               **kw)[0])
-    t_samp = timeit("render_sample (full, depth 50)", f_sample, iters=1)
-    print(f"\nimplied bounce iterations: {t_samp / t_step:.1f} "
-          f"(while_loop runs until ALL rays dead, cap 50)")
+    # full regen batch for reference
+    @jax.jit
+    def full(sample):
+        color, _, _, segs = I.render_sample_batch(
+            cs, sample, jnp.int32(1), width=width, height=height,
+            max_depth=50, shader_kind=0, need_aux=False, n_samples=4)
+        return jnp.sum(color), segs
+
+    s0 = full(jnp.int32(50))
+    float(s0[0])
+    t0_ = time.perf_counter()
+    out = full(jnp.int32(1))
+    segs = float(out[1])
+    total = float(out[0])
+    dt = time.perf_counter() - t0_
+    print(f"{'render_sample_batch(4spp, regen)':44s} {dt * 1e3:9.3f} ms  "
+          f"segments={segs:.0f}  mrays={segs / dt / 1e6:.2f}")
+    print(f"implied regen iterations: {dt / t_step:.1f}")
 
 
 if __name__ == "__main__":
