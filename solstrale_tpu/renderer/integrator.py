@@ -481,6 +481,156 @@ def render_sample(cs: CompiledScene, sample, seed, *, width, height,
     return to_image(color), to_image(albedo), to_image(normal)
 
 
+def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
+                 *, width, height, max_depth, lanes=None):
+    """Work-queue wavefront: a fixed pool of lanes drains the global
+    (pixel, sample) queue. When paths terminate, the terminating lanes claim
+    the next assignments in pixel-major order (rank via cumsum); terminated
+    paths unwind their ring-buffer tape and scatter-add into the image.
+    Unlike per-pixel lanes (trace_regenerative), no lane ever idles waiting
+    for a slow pixel — occupancy stays near 100% until the queue drains.
+
+    pix_ids: (Np,) pixel ids this call owns (a shard or the full image).
+    Returns (accum (Np, 3) summed over n_samples, segments traced).
+    """
+    n_pix = pix_ids.shape[0]
+    if lanes is None:
+        lanes = min(n_pix, 32768)
+    total_q = n_pix * n_samples  # python int (queue length)
+
+    zero_l = jnp.zeros((lanes,), jnp.float32)
+    zero3_l = jnp.zeros((lanes, 3), jnp.float32)
+
+    def assignment(qpos):
+        """queue position → (pixel id, sample id); inactive beyond queue."""
+        pslot = qpos % n_pix
+        samp = sample_start + qpos // n_pix
+        return pix_ids[pslot], pslot, samp
+
+    def cam_rays(pixel, sample_arr):
+        x = (pixel % width).astype(jnp.float32)
+        y = (pixel // width).astype(jnp.float32)
+        j1, j2, _, _ = rng.uniform4(pixel, sample_arr, 0, rng.P_JITTER, seed)
+        u = (x + j1) / (width - 1)
+        v = (y + j2) / (height - 1)
+        cam = cs.camera
+        l1, l2, _, _ = rng.uniform4(pixel, sample_arr, 0, rng.P_LENS, seed)
+        rd = rng.in_unit_disc(l1, l2) * cam.lens_radius
+        offset = cam.u[None, :] * rd[..., 0:1] + cam.v[None, :] * rd[..., 1:2]
+        offset = jnp.where(cam.lens_radius > 0.0, offset, 0.0)
+        o = cam.origin[None, :] + offset
+        d = (cam.lower_left[None, :] + cam.horizontal[None, :] * u[..., None]
+             + cam.vertical[None, :] * v[..., None]
+             - cam.origin[None, :] - offset)
+        return o, d
+
+    qpos0 = jnp.arange(lanes, dtype=jnp.int32)
+    pixel0, pslot0, sample0 = assignment(qpos0)
+    o0, d0 = cam_rays(pixel0, sample0)
+
+    state = dict(
+        qpos=qpos0,                    # queue position per lane
+        bounce=jnp.zeros((lanes,), jnp.int32),
+        o=o0, d=d0,
+        acc_len=zero_l,
+        path_len=jnp.zeros((lanes,), jnp.int32),
+        it=jnp.int32(0),
+        next_q=jnp.int32(lanes),       # next unclaimed queue position
+        tape_color=jnp.zeros((max_depth, lanes, 3), jnp.float32),
+        tape_prob=jnp.zeros((max_depth, lanes), jnp.float32),
+        tape_pdf=jnp.zeros((max_depth, lanes), bool),
+        accum=jnp.zeros((n_pix, 3), jnp.float32),
+        segments=jnp.float32(0.0),
+    )
+
+    def cond(state):
+        return jnp.any(state["qpos"] < total_q)
+
+    def body(state):
+        qpos = state["qpos"]
+        pixel, pslot, sample = assignment(jnp.minimum(qpos, total_q - 1))
+        o, d = state["o"], state["d"]
+        bounce = state["bounce"]
+        active = qpos < total_q
+
+        t, kind, idx = scene_hit(cs, o, d, pixel, sample, bounce, seed)
+        finite = jnp.isfinite(t)
+        miss = active & ~finite
+        t_safe = jnp.where(finite, t, 0.0)
+        attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pixel,
+                                    sample, bounce, seed)
+        sc = scatter(cs, o, d, attrs, pixel, sample, bounce, seed)
+
+        capped = active & finite & (bounce >= max_depth)
+        emit = active & finite & ~capped & sc["is_emission"]
+        scat = active & finite & ~capped & ~sc["is_emission"]
+        terminal = miss | capped | emit
+
+        total_len = state["acc_len"] + t_safe
+        term_color = jnp.where(miss[..., None], cs.bg_color,
+                               jnp.where(emit[..., None], sc["emit_color"],
+                                         0.0))
+        term_af = jnp.where(emit, sc["atten"], 0.0)
+        term_acc = jnp.where(emit, total_len, 0.0)
+
+        # masked unwind (newest-first ring order)
+        path_len = state["path_len"]
+        it = state["it"]
+        max_len = jnp.max(jnp.where(terminal, path_len, 0))
+
+        def unwind_body(i, L):
+            valid = (i < path_len)
+            slot = jnp.mod(it - 1 - i, max_depth)
+            c = state["tape_color"][slot]
+            p = state["tape_prob"][slot]
+            is_pdf = state["tape_pdf"][slot]
+            cand = c * p[..., None] * L
+            cand = jnp.where(is_pdf[..., None], _filter_invalid(cand), cand)
+            return jnp.where(valid[..., None], cand, L)
+
+        L = jax.lax.fori_loop(0, max_len, unwind_body, term_color)
+        att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
+        contrib = jnp.where(terminal[..., None], L * att[..., None], 0.0)
+        accum = state["accum"].at[pslot].add(contrib)
+
+        # terminal lanes claim the next queue slots (rank by cumsum)
+        term_i = terminal.astype(jnp.int32)
+        rank = jnp.cumsum(term_i) - term_i  # exclusive prefix
+        new_qpos = jnp.where(terminal, state["next_q"] + rank, qpos)
+        next_q = state["next_q"] + jnp.sum(term_i)
+
+        npixel, _, nsample = assignment(jnp.minimum(new_qpos, total_q - 1))
+        o_new, d_new = cam_rays(npixel, nsample)
+        o2 = jnp.where(terminal[..., None], o_new,
+                       jnp.where(scat[..., None], attrs["point"], o))
+        d2 = jnp.where(terminal[..., None], d_new,
+                       jnp.where(scat[..., None], sc["new_dir"], d))
+        bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))
+        acc2 = jnp.where(terminal, 0.0,
+                         jnp.where(scat, total_len, state["acc_len"]))
+
+        ptr = jnp.mod(it, max_depth)
+        tape_color = state["tape_color"].at[ptr].set(
+            jnp.where(scat[..., None], sc["tape_color"], 0.0))
+        tape_prob = state["tape_prob"].at[ptr].set(sc["prob"])
+        tape_pdf = state["tape_pdf"].at[ptr].set(sc["is_pdf"])
+        path_len2 = jnp.where(terminal, 0,
+                              jnp.where(scat,
+                                        jnp.minimum(path_len + 1, max_depth),
+                                        path_len))
+
+        return dict(qpos=new_qpos, bounce=bounce2, o=o2, d=d2,
+                    acc_len=acc2, path_len=path_len2, it=it + 1,
+                    next_q=next_q,
+                    tape_color=tape_color, tape_prob=tape_prob,
+                    tape_pdf=tape_pdf, accum=accum,
+                    segments=state["segments"]
+                    + jnp.sum(active.astype(jnp.float32)))
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["accum"], state["segments"]
+
+
 def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
                        *, width, height, max_depth):
     """Regenerative wavefront: one lane per pixel; when a lane's path
@@ -631,7 +781,7 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
     zero = jnp.zeros((width * height, 3), jnp.float32)
 
     if shader_kind == SHADER_PATH:
-        color, segments = trace_regenerative(
+        color, segments = trace_queued(
             cs, pix, sample_start, n_samples, seed, width=width,
             height=height, max_depth=max_depth)
     else:
