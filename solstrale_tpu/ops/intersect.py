@@ -136,11 +136,33 @@ def _planar_t_mxu(n, dpl, g1, g1o, g2, g2o, is_tri, valid, o, d, tmin, tmax):
     return jnp.where(ok, t, INF)
 
 
+def _pallas_sweep_enabled():
+    """Route sweeps through the Pallas fused kernel on TPU backends
+    (override with SOLSTRALE_PALLAS=0/1). The XLA sweep materializes (R,P)
+    intermediates in HBM; the Pallas kernel keeps the primitive loop in
+    VMEM/registers."""
+    import os
+
+    flag = os.environ.get("SOLSTRALE_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def closest_solid_hit(s: Solids, o, d, tmin, tmax):
-    """Closest hit over all solid tables (MXU-form sweeps).
+    """Closest hit over all solid tables (MXU-form sweeps, or the Pallas
+    fused sweep on TPU).
 
     Returns (t, kind, idx); t = INF on miss. tmin/tmax broadcast over (R,).
     """
+    if _pallas_sweep_enabled():
+        from .pallas_sweep import closest_solid_hit_pallas
+
+        return closest_solid_hit_pallas(s, o, d, tmin, tmax)
     r = o.shape[0]
     if jnp.ndim(tmin):
         tmin = tmin.reshape(r, 1)

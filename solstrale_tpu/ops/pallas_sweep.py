@@ -45,7 +45,9 @@ def _sweep_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
     oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
     best_t = jnp.full_like(tmax, INF)
-    best_slot = jnp.full(tmax.shape, -1, jnp.int32)
+    # slot carried as f32: Mosaic cannot legalize int-vector selects with
+    # scalar operands on all generations
+    best_slot = jnp.full(tmax.shape, -1.0, jnp.float32)
 
     def sphere_body(p, carry):
         best_t, best_slot = carry
@@ -67,8 +69,9 @@ def _sweep_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
         t = jnp.where(ok & (r1 >= tmin) & (r1 <= tmax), r1,
                       jnp.where(ok & (r2 >= tmin) & (r2 <= tmax), r2, INF))
         better = t < best_t
+        slot_val = jnp.full_like(best_slot, p.astype(jnp.float32))
         return (jnp.where(better, t, best_t),
-                jnp.where(better, p, best_slot))
+                jnp.where(better, slot_val, best_slot))
 
     best_t, best_slot = jax.lax.fori_loop(0, n_sph, sphere_body,
                                           (best_t, best_slot))
@@ -90,21 +93,21 @@ def _sweep_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
             + pl_ref[p, 11]
         is_tri = pl_ref[p, 12] > 0.5
         valid = pl_ref[p, 13] > 0.5
-        contain = jnp.where(is_tri,
-                            (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                            & (u + v <= 1.0),
-                            (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                            & (v <= 1.0))
+        # boolean select via logical ops (Mosaic cannot legalize i1 selects)
+        base = (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+        contain = base & ((is_tri & (u + v <= 1.0))
+                          | (~is_tri & (v <= 1.0)))
         ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid & contain
               & (t >= tmin) & (t <= tmax) & (t < best_t))
+        slot_val = jnp.full_like(best_slot, (n_sph + p).astype(jnp.float32))
         return (jnp.where(ok, t, best_t),
-                jnp.where(ok, n_sph + p, best_slot))
+                jnp.where(ok, slot_val, best_slot))
 
     best_t, best_slot = jax.lax.fori_loop(0, n_pl, planar_body,
                                           (best_t, best_slot))
 
     out_t[...] = best_t
-    out_slot[...] = best_slot
+    out_slot[...] = best_slot.astype(jnp.int32)
 
 
 def _pack_tables(solids):

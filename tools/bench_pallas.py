@@ -32,22 +32,43 @@ def main():
     o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
     d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
 
-    f_xla = jax.jit(lambda o, d: closest_solid_hit(cs.solids, o, d,
-                                                   RAY_T_MIN, INF)[0])
-    f_pal = jax.jit(lambda o, d: closest_solid_hit_pallas(cs.solids, o, d,
-                                                          RAY_T_MIN, INF)[0])
+    iters = 20
 
-    for name, fn in [("xla_mxu_sweep", f_xla), ("pallas_fused_sweep", f_pal)]:
-        t_val = np.asarray(fn(o, d))  # compile + run
+    def bench(name, hit_fn):
+        @jax.jit
+        def run(c0):
+            def body(i, c):
+                t = hit_fn(o + c * 1e-12, d)
+                return c + jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)) * 1e-12
+
+            return jax.lax.fori_loop(0, iters, body, c0)
+
+        float(run(jnp.float32(0.0)))  # compile + warmup
         t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            t_val = np.asarray(fn(o, d))
+        float(run(jnp.float32(1.0)))
         dt = (time.perf_counter() - t0) / iters
         mrays = n / dt / 1e6
-        hits = np.isfinite(t_val).mean()
-        print(f"{name:22s} {dt * 1e3:8.2f} ms  {mrays:10.1f} Mray-tests/s "
-              f"({n_prims} prims, hit-rate {hits:.2f})")
+        print(f"{name:22s} {dt * 1e3:8.2f} ms  {mrays:10.1f} Mray-sweeps/s "
+              f"({n_prims} prims)")
+
+    import os
+
+    os.environ["SOLSTRALE_PALLAS"] = "0"  # force the XLA path for baseline
+    bench("xla_mxu_sweep",
+          lambda o, d: closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)[0])
+    bench("pallas_fused_sweep",
+          lambda o, d: closest_solid_hit_pallas(cs.solids, o, d,
+                                                RAY_T_MIN, INF)[0])
+
+    # value equivalence on this backend
+    t_x = np.asarray(jax.jit(lambda: closest_solid_hit(
+        cs.solids, o, d, RAY_T_MIN, INF)[0])())
+    t_p = np.asarray(jax.jit(lambda: closest_solid_hit_pallas(
+        cs.solids, o, d, RAY_T_MIN, INF)[0])())
+    hit = np.isfinite(t_x)
+    agree = np.array_equal(hit, np.isfinite(t_p)) and \
+        np.allclose(t_x[hit], t_p[hit], rtol=1e-5, atol=1e-5)
+    print(f"value equivalence (pallas vs xla): {'OK' if agree else 'MISMATCH'}")
 
 
 if __name__ == "__main__":
