@@ -15,14 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _training_scenes():
+def _training_scenes(size=128):
     sys.path.insert(0, "tests")
     from scenes import (create_light_attenuation_scene,
                         create_simple_test_scene, create_test_scene)
     from solstrale_tpu import RenderConfig
 
     def cfg(spp):
-        return RenderConfig(width=128, height=128, samples_per_pixel=spp,
+        return RenderConfig(width=size, height=size, samples_per_pixel=spp,
                             seed=3)
 
     return [
@@ -32,13 +32,13 @@ def _training_scenes():
     ]
 
 
-def _render_pair(make_scene, noisy_spp=4, clean_spp=128):
+def _render_pair(make_scene, noisy_spp=4, clean_spp=128, size=128):
     from ..renderer import integrator
     from ..scene.compile import compile_scene
     from ..utils import to_float
 
     cs = compile_scene(make_scene(noisy_spp))
-    kw = dict(width=128, height=128, max_depth=50,
+    kw = dict(width=size, height=size, max_depth=50,
               shader_kind=integrator.SHADER_PATH)
     noisy, albedo, normal, _ = integrator.render_sample_batch(
         cs, jnp.int32(1), jnp.int32(3), need_aux=True, n_samples=noisy_spp,
@@ -52,13 +52,15 @@ def _render_pair(make_scene, noisy_spp=4, clean_spp=128):
             np.asarray(to_float(clean, clean_spp)))
 
 
-def train(steps=300, out_path="solstrale_tpu/models/denoiser_weights.pkl"):
+def train(steps=300, out_path="solstrale_tpu/models/denoiser_weights.pkl",
+          size=128, noisy_spp=4, clean_spp=128):
     import optax
 
     from .denoiser import DenoiserCNN
 
     print("rendering training pairs...")
-    pairs = [_render_pair(m) for m in _training_scenes()]
+    pairs = [_render_pair(m, noisy_spp, clean_spp, size)
+             for m in _training_scenes(size)]
 
     model = DenoiserCNN()
     params = model.init(jax.random.PRNGKey(0),

@@ -15,8 +15,15 @@ from ..utils import to_float
 from . import PostProcessor
 
 
+_BUNDLED_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "models", "denoiser_weights.pkl")
+
+
 class DenoiserPostProcessor(PostProcessor):
-    def __init__(self, weights_path=None):
+    def __init__(self, weights_path=None, use_cnn=True):
+        if weights_path is None and use_cnn and \
+                os.path.exists(_BUNDLED_WEIGHTS):
+            weights_path = _BUNDLED_WEIGHTS
         self.weights_path = weights_path
         self._params = None
         if weights_path and os.path.exists(weights_path):

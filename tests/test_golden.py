@@ -130,6 +130,16 @@ def test_blended_materials(blend_factor, name):
     render_and_compare(scene, name)
 
 
+def test_render_with_denoiser():
+    """Learned-denoiser pipeline against the reference's OIDN golden
+    (integration_tests.rs:47-61): same scene, aux channels consumed."""
+    from solstrale_tpu.post import OidnPostProcessor
+
+    scene = create_simple_test_scene(
+        cfg(200, 100, 8, post_processors=[OidnPostProcessor()]))
+    render_and_compare(scene, "denoised", expected_name="oidn")
+
+
 def test_bloom():
     """Pure post-process golden on a static input image
     (integration_tests.rs:239-254)."""
