@@ -150,6 +150,8 @@ def _pallas_sweep_enabled():
         return True
     import jax
 
+    # TPU-validated: identical hit sets vs the XLA sweep; t values agree to
+    # ~1e-4 (different accumulation orders, MXU vs scalar form)
     return jax.default_backend() not in ("cpu",)
 
 
