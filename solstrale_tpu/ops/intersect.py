@@ -280,6 +280,10 @@ def medium_hit(medium, o, d, t_solid, u_flight):
     Entry = first boundary hit on (-inf, inf), exit = next hit past it;
     exponential free-flight sample decides scattering inside [entry, exit]
     clamped to [RAY_T_MIN, t_solid]. Returns t (INF = no medium event)."""
+    if _pallas_sweep_enabled():
+        from .pallas_sweep import medium_hit_pallas
+
+        return medium_hit_pallas(medium, o, d, t_solid, u_flight)
     t1, _, _ = closest_solid_hit(medium.boundary, o, d, -INF, INF)
     t2, _, _ = closest_solid_hit(medium.boundary, o, d, t1 + 1e-4, INF)
     both = jnp.isfinite(t1) & jnp.isfinite(t2)

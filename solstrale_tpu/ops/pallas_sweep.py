@@ -171,6 +171,126 @@ def closest_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
     return t.reshape(-1)[:r], slot.reshape(-1)[:r]
 
 
+def _medium_kernel(ox, oy, oz, dx, dy, dz, tsol_ref, u_ref, sph_ref, pl_ref,
+                   nid_ref, out_t, *, n_sph, n_pl):
+    """Fused constant-medium event test (constant_medium.rs:35-79): entry =
+    closest boundary hit on (-inf, inf), exit = closest past entry+1e-4,
+    exponential free-flight sample within [entry, exit] clamped to
+    [RAY_T_MIN, t_solid]."""
+    o = (ox[...], oy[...], oz[...])
+    d = (dx[...], dy[...], dz[...])
+    t_solid = tsol_ref[...]
+    u = u_ref[...]
+    neg_inv_density = nid_ref[0]
+
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    od = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
+    oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+
+    def closest(lo):
+        best = jnp.full_like(t_solid, INF)
+
+        def sph_body(p, best):
+            cx = sph_ref[p, 0]
+            cy = sph_ref[p, 1]
+            cz = sph_ref[p, 2]
+            radius = sph_ref[p, 3]
+            valid = sph_ref[p, 4]
+            cd = cx * d[0] + cy * d[1] + cz * d[2]
+            co = cx * o[0] + cy * o[1] + cz * o[2]
+            half_b = od - cd
+            c2 = oo - 2.0 * co + (cx * cx + cy * cy + cz * cz) \
+                - radius * radius
+            disc = half_b * half_b - dd * c2
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r1 = (-half_b - sq) / dd
+            r2 = (-half_b + sq) / dd
+            ok = (disc >= 0.0) & (valid > 0.5)
+            t = jnp.where(ok & (r1 >= lo), r1,
+                          jnp.where(ok & (r2 >= lo), r2, INF))
+            return jnp.where(t < best, t, best)
+
+        best = jax.lax.fori_loop(0, n_sph, sph_body, best)
+
+        def pl_body(p, best):
+            nx = pl_ref[p, 0]
+            ny = pl_ref[p, 1]
+            nz = pl_ref[p, 2]
+            dpl = pl_ref[p, 3]
+            denom = nx * d[0] + ny * d[1] + nz * d[2]
+            t = (dpl - (nx * o[0] + ny * o[1] + nz * o[2])) / denom
+            hx = o[0] + t * d[0]
+            hy = o[1] + t * d[1]
+            hz = o[2] + t * d[2]
+            uu = hx * pl_ref[p, 4] + hy * pl_ref[p, 5] + hz * pl_ref[p, 6] \
+                + pl_ref[p, 7]
+            vv = hx * pl_ref[p, 8] + hy * pl_ref[p, 9] + hz * pl_ref[p, 10] \
+                + pl_ref[p, 11]
+            is_tri = pl_ref[p, 12] > 0.5
+            valid = pl_ref[p, 13] > 0.5
+            base = (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+            contain = base & ((is_tri & (uu + vv <= 1.0))
+                              | (~is_tri & (vv <= 1.0)))
+            ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid & contain
+                  & (t >= lo) & (t < best))
+            return jnp.where(ok, t, best)
+
+        return jax.lax.fori_loop(0, n_pl, pl_body, best)
+
+    neg_big = jnp.full_like(t_solid, -INF)
+    t1 = closest(neg_big)
+    t2 = closest(t1 + 1e-4)
+    both = (t1 < INF) & (t2 < INF)
+
+    t1c = jnp.maximum(t1, 1e-3)   # RAY_T_MIN
+    t2c = jnp.minimum(t2, t_solid)
+    ordered = t1c < t2c
+    t1c = jnp.maximum(t1c, 0.0)
+    r_len = jnp.sqrt(dd)
+    dist_inside = (t2c - t1c) * r_len
+    hit_dist = neg_inv_density * jnp.log(jnp.maximum(u, 1e-38))
+    scatters = hit_dist <= dist_inside
+    t = t1c + hit_dist / r_len
+    out_t[...] = jnp.where(both & ordered & scatters, t, INF)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def medium_hit_pallas(medium, o, d, t_solid, u_flight, interpret=False):
+    """Fused medium event test via one Pallas kernel per medium."""
+    r = o.shape[0]
+    n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
+    pad = n_pad - r
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad),))
+        return x.reshape(n_pad // _LANES, _LANES)
+
+    ox, oy, oz = (prep(o[:, i]) for i in range(3))
+    dx, dy, dz = (prep(d[:, i]) for i in range(3))
+    tsol = prep(jnp.where(jnp.isfinite(t_solid), t_solid, INF))
+    uf = prep(u_flight)
+    sph, pln = _pack_tables(medium.boundary)
+    nid = jnp.reshape(medium.neg_inv_density, (1,)).astype(jnp.float32)
+
+    grid = (n_pad // BLOCK,)
+    ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    t = pl.pallas_call(
+        functools.partial(_medium_kernel, n_sph=sph.shape[0],
+                          n_pl=pln.shape[0]),
+        grid=grid,
+        in_specs=[ray_spec] * 8 + [table_spec, table_spec, scalar_spec],
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad // _LANES, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(ox, oy, oz, dx, dy, dz, tsol, uf, sph, pln, nid)
+    return t.reshape(-1)[:r]
+
+
 def closest_solid_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
     """Drop-in for ops.intersect.closest_solid_hit via the Pallas kernel:
     returns (t, kind, idx)."""

@@ -34,3 +34,28 @@ def test_pallas_sweep_matches_xla():
     same = (np.asarray(k_ref) == np.asarray(k_pal)) & \
         (np.asarray(i_ref) == np.asarray(i_pal))
     assert same[hit_ref].mean() > 0.999
+
+
+def test_pallas_medium_matches_xla():
+    import jax
+
+    from solstrale_tpu.ops.intersect import medium_hit
+    from solstrale_tpu.ops.pallas_sweep import medium_hit_pallas
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    med = cs.media[0]
+
+    rng = np.random.default_rng(1)
+    n = 700
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    t_solid = jnp.asarray(rng.uniform(0.5, 20.0, (n,)).astype(np.float32))
+    u = jnp.asarray(rng.uniform(0.0, 1.0, (n,)).astype(np.float32))
+
+    ref = np.asarray(medium_hit(med, o, d, t_solid, u))
+    pal = np.asarray(medium_hit_pallas(med, o, d, t_solid, u,
+                                       interpret=True))
+    hit = np.isfinite(ref)
+    np.testing.assert_array_equal(hit, np.isfinite(pal))
+    np.testing.assert_allclose(ref[hit], pal[hit], rtol=1e-4, atol=1e-4)
