@@ -69,9 +69,12 @@ def sample_texture(tex, tex_id, uv):
     return tex.pixels[idx]
 
 
-def resolve_blend(mats, mat_id, u_levels):
+def resolve_blend(mats, mat_id, u_levels, features=frozenset(("blend",))):
     """Walk blend chains: pick material_1 if U > blend_factor else material_2,
-    independently per level (material/mod.rs:429-444)."""
+    independently per level (material/mod.rs:429-444). Identity (free) when
+    the compiled scene has no blend materials."""
+    if "blend" not in features:
+        return mat_id
     for lvl in range(MAX_BLEND_DEPTH):
         row = mat_row(mats, mat_id)
         is_blend = row["kind"] == BLEND
@@ -83,7 +86,11 @@ def resolve_blend(mats, mat_id, u_levels):
 
 def shading_normal_of(cs, mat_id, attrs, row=None):
     """Material-transformed normal: tangent-space normal map applied through
-    the hit ONB (material/mod.rs:386-389); identity without a map."""
+    the hit ONB (material/mod.rs:386-389); identity without a map. When no
+    material in the scene carries a normal map this is the geometric normal
+    exactly, so the texture fetch + ONB transform are skipped entirely."""
+    if "normal_maps" not in cs.features:
+        return attrs["normal"]
     ntex = (row or mat_row(cs.materials, mat_id))["normal_tex"]
     tex_n = sample_texture(cs.textures, ntex, attrs["uv"]) * 2.0 - 1.0
     mapped = onb_local(attrs["tangent"], attrs["bitangent"], attrs["normal"],
@@ -142,13 +149,16 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     is_emission, emit_color, atten, new_dir, tape_color, prob, is_pdf."""
     mats = cs.materials
 
-    u_b = rng.uniform4(pix, sample, bounce, rng.P_BLEND_SCATTER, seed)
-    eff = resolve_blend(mats, attrs["mat"], u_b)
-    u_bn = rng.uniform4(pix, sample, bounce, rng.P_BLEND_NORMAL, seed)
-    eff_n = resolve_blend(mats, attrs["mat"], u_bn)
-
-    row = mat_row(mats, eff)
-    row_n = mat_row(mats, eff_n)
+    if "blend" in cs.features:
+        u_b = rng.uniform4(pix, sample, bounce, rng.P_BLEND_SCATTER, seed)
+        eff = resolve_blend(mats, attrs["mat"], u_b)
+        u_bn = rng.uniform4(pix, sample, bounce, rng.P_BLEND_NORMAL, seed)
+        eff_n = resolve_blend(mats, attrs["mat"], u_bn)
+        row = mat_row(mats, eff)
+        row_n = mat_row(mats, eff_n)
+    else:
+        eff = eff_n = attrs["mat"]
+        row = row_n = mat_row(mats, eff)
     s_normal = shading_normal_of(cs, eff_n, attrs, row=row_n)
 
     mk = row["kind"]
@@ -412,7 +422,7 @@ def shade_normal(cs, o, d, pix, sample, seed):
     t_safe = jnp.where(hit, t, 0.0)
     attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0, seed)
     u_bn = rng.uniform4(pix, sample, 0, rng.P_BLEND_NORMAL, seed)
-    eff_n = resolve_blend(cs.materials, attrs["mat"], u_bn)
+    eff_n = resolve_blend(cs.materials, attrs["mat"], u_bn, cs.features)
     normal = shading_normal_of(cs, eff_n, attrs)
     return jnp.where(hit[..., None], normal, cs.bg_color)
 
@@ -490,10 +500,12 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
     Unlike per-pixel lanes (trace_regenerative), no lane ever idles waiting
     for a slow pixel — occupancy stays near 100% until the queue drains.
 
-    pix_ids: (Np,) pixel ids this call owns (a shard or the full image).
+    pix_ids: (Np,) pixel ids this call owns (a shard or the full image), or
+    None for the full image (pixel id == queue slot — skips a 32k-wide
+    gather per iteration).
     Returns (accum (Np, 3) summed over n_samples, segments traced).
     """
-    n_pix = pix_ids.shape[0]
+    n_pix = width * height if pix_ids is None else pix_ids.shape[0]
     if lanes is None:
         lanes = min(n_pix, 32768)
     total_q = n_pix * n_samples  # python int (queue length)
@@ -505,7 +517,8 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         """queue position → (pixel id, sample id); inactive beyond queue."""
         pslot = qpos % n_pix
         samp = sample_start + qpos // n_pix
-        return pix_ids[pslot], pslot, samp
+        pixel = pslot if pix_ids is None else pix_ids[pslot]
+        return pixel, pslot, samp
 
     def cam_rays(pixel, sample_arr):
         x = (pixel % width).astype(jnp.float32)
@@ -782,7 +795,7 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
 
     if shader_kind == SHADER_PATH:
         color, segments = trace_queued(
-            cs, pix, sample_start, n_samples, seed, width=width,
+            cs, None, sample_start, n_samples, seed, width=width,
             height=height, max_depth=max_depth)
     else:
         def body(i, acc):

@@ -13,7 +13,7 @@ e.g. quad.rs:41-65) then cast to f32 for device.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, fields
+from dataclasses import dataclass, field, fields
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +33,19 @@ KIND_MEDIUM = 3  # pseudo-kind for volume scattering events
 
 
 def _pytree_dataclass(cls):
+    """Frozen dataclass registered as a pytree. Fields declared with
+    ``metadata={"static": True}`` go into aux_data (hashable trace-time
+    constants — e.g. scene feature flags that gate code paths under jit)."""
     cls = dataclass(frozen=True)(cls)
+    dyn = tuple(f.name for f in fields(cls) if not f.metadata.get("static"))
+    stat = tuple(f.name for f in fields(cls) if f.metadata.get("static"))
 
     def flatten(obj):
-        return tuple(getattr(obj, f.name) for f in fields(cls)), None
+        return (tuple(getattr(obj, n) for n in dyn),
+                tuple(getattr(obj, n) for n in stat))
 
-    def unflatten(_, children):
-        return cls(*children)
+    def unflatten(aux, children):
+        return cls(**dict(zip(dyn, children)), **dict(zip(stat, aux)))
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls
@@ -179,6 +185,12 @@ class CompiledScene:
     bg_color: jnp.ndarray   # (3,)
     camera: CameraSoA
     bvh: object = None      # accel.Bvh when the scene is large enough
+    # static feature flags (trace-time constants): subset of
+    # {"blend", "normal_maps"} — lets the integrator skip whole code paths
+    # (blend-chain resolution, normal-map texture fetches) for scenes that
+    # cannot exercise them, with bit-identical results.
+    features: frozenset = field(default_factory=frozenset,
+                                metadata={"static": True})
 
 
 class SceneError(ValueError):
@@ -575,14 +587,22 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
 
         bvh = build_bvh(solids)
 
+    material_table = mats.build()
+    features = set()
+    if any(r["kind"] == BLEND for r in mats.rows):
+        features.add("blend")
+    if any(r["normal_tex"] >= 0 for r in mats.rows):
+        features.add("normal_maps")
+
     return CompiledScene(
         solids=solids,
         media=tuple(media),
         lights=lights,
-        materials=mats.build(),
+        materials=material_table,
         textures=arena.build(),
         bg_color=jnp.asarray(np.asarray(scene.background_color, np.float32)),
         camera=compile_camera(scene.camera, scene.render_config.width,
                               scene.render_config.height),
         bvh=bvh,
+        features=frozenset(features),
     )
