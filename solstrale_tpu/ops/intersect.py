@@ -97,8 +97,13 @@ def _chunk_scan(fn, n_prims, r):
 
 
 def _mm(a, b):
-    """(R,3) x (3,P) matmul routed to the MXU."""
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    """(R,3) x (3,P) matmul routed to the MXU at full f32 accuracy.
+
+    HIGHEST precision is required: the TPU MXU's DEFAULT mode multiplies in
+    bf16 (8 mantissa bits), which corrupts world-space geometry functionals
+    (plane offsets, barycentric coefficients) enough to miss hits."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _sphere_t_mxu(center, radius, valid, o, d, od, oo, dd, tmin, tmax):
@@ -210,8 +215,12 @@ def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
         size = min(chunk, n_rows - a)
         cols = jnp.arange(a, a + size, dtype=idx.dtype)
         oh = (idx[:, None] == cols[None, :]).astype(jnp.float32)
+        # HIGHEST precision: DEFAULT runs the MXU in bf16, which rounds
+        # integer-valued table entries above 256 (texture-arena offsets,
+        # material/texture ids) to the wrong row — the lookup must be exact
         out = out + jnp.dot(oh, table[a:a + size],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     return out
 
 

@@ -107,6 +107,17 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
 
         t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, o, d, RAY_T_MIN, INF)
     else:
+        from ..ops.intersect import _pallas_sweep_enabled
+
+        if _pallas_sweep_enabled():
+            # whole scene_hit (solids + all medium events) in ONE kernel
+            from ..ops.pallas_sweep import scene_hit_fused
+
+            u_flights = tuple(
+                rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i,
+                            seed)
+                for m_i in range(len(cs.media)))
+            return scene_hit_fused(cs, o, d, u_flights, RAY_T_MIN)
         t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
     for m_i, med in enumerate(cs.media):
         u = rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i, seed)

@@ -59,3 +59,40 @@ def test_pallas_medium_matches_xla():
     hit = np.isfinite(ref)
     np.testing.assert_array_equal(hit, np.isfinite(pal))
     np.testing.assert_allclose(ref[hit], pal[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_scene_hit_fused_matches_xla():
+    """The single-launch scene_hit (solids + medium events) must agree with
+    the composed XLA path (closest_solid_hit + per-medium medium_hit)."""
+    from solstrale_tpu.ops.intersect import medium_hit
+    from solstrale_tpu.ops.pallas_sweep import scene_hit_fused
+    from solstrale_tpu.scene.compile import KIND_MEDIUM
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+
+    rng = np.random.default_rng(2)
+    n = 1300
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    us = tuple(jnp.asarray(rng.uniform(0.0, 1.0, (n,)).astype(np.float32))
+               for _ in cs.media)
+
+    t_ref, k_ref, i_ref = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+    for m_i, med in enumerate(cs.media):
+        t_m = medium_hit(med, o, d, t_ref, us[m_i])
+        is_med = t_m < t_ref
+        t_ref = jnp.where(is_med, t_m, t_ref)
+        k_ref = jnp.where(is_med, KIND_MEDIUM, k_ref)
+        i_ref = jnp.where(is_med, m_i, i_ref)
+
+    t_f, k_f, i_f = scene_hit_fused(cs, o, d, us, 1e-3, interpret=True)
+
+    hit_ref = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(hit_ref, np.isfinite(np.asarray(t_f)))
+    np.testing.assert_allclose(np.asarray(t_ref)[hit_ref],
+                               np.asarray(t_f)[hit_ref], rtol=1e-4,
+                               atol=1e-4)
+    same = (np.asarray(k_ref) == np.asarray(k_f)) & \
+        (np.asarray(i_ref) == np.asarray(i_f))
+    assert same[hit_ref].mean() > 0.999
