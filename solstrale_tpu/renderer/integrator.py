@@ -3,12 +3,23 @@
 TPU-native re-architecture of the reference's recursive ``ray_color``
 (``renderer/mod.rs:164-206`` + ``shader.rs:60-125``): instead of per-ray
 recursion to depth 50, a *wavefront* of all camera rays advances together
-through a ``lax.scan`` over bounces, carrying an SoA ray state and recording a
-compact per-bounce tape (scatter color / pdf weight / kind). After the loop a
-reverse unwind reproduces the reference's nested
-``clamp(≤3)+NaN→0`` ScatterPdf semantics exactly (shader.rs:95-125) — the
-clamp applies at every recursion level to the *product* color·prob·L, which a
-forward-only throughput accumulation cannot express.
+through a bounce loop carrying an SoA ray state.
+
+The reference's nested ``clamp(≤3)+NaN→0`` ScatterPdf semantics
+(shader.rs:95-125) — the clamp applies at every recursion level to the
+*product* color·prob·L_inner — is folded FORWARD with O(1) per-lane state
+using ``min(a·L, 3) = a·min(L, 3/a)`` for a ≥ 0 (multiplication by a
+non-negative scalar distributes over min). Unrolling the recursion
+L_i = min(a_i · L_{i+1}, 3) with a_i = color_i·prob_i gives
+
+    L_1 = min( (Π_j a_j) · T ,  min_i 3·Π_{j<i} a_j )
+
+so the loop carries only the prefix product A = Π a_j and the running bound
+B = min_i 3·A_{i-1} (per channel), plus NaN bookkeeping: a NaN at a pdf
+level is filtered (→0) at its own level; a NaN at a basic (metal/dielectric)
+level or in the terminal color is filtered by the nearest *outer* pdf level
+if one exists, else it propagates to the image exactly as in the reference.
+No per-bounce tape and no reverse unwind are needed.
 
 Light transport features (all matching the reference):
 - NEE as 50/50 mixture of light-pdf and BSDF-pdf (pdf.rs:36-48), with
@@ -154,6 +165,51 @@ def _filter_invalid(col):
     return jnp.where(jnp.isnan(col), 0.0, jnp.minimum(col, 3.0))
 
 
+# --- forward clamp-fold state (see module docstring) -----------------------
+#
+# Per-lane, per-channel state (A, B, dead) + per-lane outer_pdf flag:
+#   A         prefix product Π color_j·prob_j over scatter levels so far
+#   B         running clamp bound min_i 3·A_{i-1} over pdf levels so far
+#   dead      channel forced to 0 by a NaN filtered at a pdf level
+#   outer_pdf True once any pdf level has been processed (an inner NaN will
+#             be filtered by that outer level's f; shader.rs:109-125)
+
+def fold_init(zero3):
+    """Identity fold state from a (R, 3) zero array (keeps mesh vary-ness)."""
+    return (zero3 + 1.0,            # A
+            zero3 + jnp.float32(INF),  # B
+            zero3 > 1.0,            # dead (all False)
+            zero3[..., 0] > 1.0)    # outer_pdf (all False)
+
+
+def fold_scatter(state, color, prob, is_pdf, scat):
+    """Fold one scatter level into (A, B, dead, outer_pdf) for lanes where
+    ``scat`` is True. Exactly reproduces the reference's nested
+    f(color·prob·L) recursion values (shader.rs:85-125) — see module
+    docstring for the min-distribution identity."""
+    A, B, dead, outer_pdf = state
+    a = color * prob[..., None]
+    pdf_lvl = scat & is_pdf
+    basic_lvl = scat & ~is_pdf
+    nan_a = jnp.isnan(a)
+    # pdf level: records its clamp bound 3·A_prev and filters its own NaNs
+    B = jnp.where(pdf_lvl[..., None], jnp.minimum(B, 3.0 * A), B)
+    dead = dead | (pdf_lvl[..., None] & nan_a)
+    # basic level: its NaN is filtered by the nearest OUTER pdf level, if any
+    dead = dead | (basic_lvl[..., None] & nan_a & outer_pdf[..., None])
+    A = jnp.where(scat[..., None], A * a, A)
+    outer_pdf = outer_pdf | pdf_lvl
+    return A, B, dead, outer_pdf
+
+
+def fold_resolve(state, term_color):
+    """Terminal color through the folded clamps: min(A·T, B), with a NaN
+    terminal filtered by the innermost pdf level when one exists."""
+    A, B, dead, outer_pdf = state
+    dead_t = dead | (jnp.isnan(term_color) & outer_pdf[..., None])
+    return jnp.where(dead_t, 0.0, jnp.minimum(A * term_color, B))
+
+
 def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     """Material dispatch: compute scatter results for every material model and
     select per ray. Returns dict with
@@ -262,8 +318,8 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
 
 
 def bounce_step(cs: CompiledScene, carry, bounce, pix, sample, seed):
-    """One wavefront bounce. Returns (carry', tape_entry)."""
-    o, d, alive, acc_len, term_color, term_af, term_acc = carry
+    """One wavefront bounce. Folds the scatter level into the clamp state."""
+    (o, d, alive, acc_len, term_color, term_af, term_acc, fold) = carry
 
     t, kind, idx = scene_hit(cs, o, d, pix, sample, bounce, seed)
     miss = alive & ~jnp.isfinite(t)
@@ -289,27 +345,10 @@ def bounce_step(cs: CompiledScene, carry, bounce, pix, sample, seed):
     new_alive = alive & ~miss & ~emit
     new_acc = jnp.where(hit, total_len, acc_len)
 
-    tape = (jnp.where(scat[..., None], sc["tape_color"], 0.0),
-            sc["prob"], sc["is_pdf"], scat)
+    fold = fold_scatter(fold, sc["tape_color"], sc["prob"], sc["is_pdf"],
+                        scat)
     return (new_o, new_d, new_alive, new_acc, term_color, term_af,
-            term_acc), tape
-
-
-def unwind_tape(tape, term_color):
-    """Reverse unwind reproducing shade() recursion unrolling
-    (shader.rs:85-104): L ← filter(color·prob·L) for pdf scatters,
-    L ← color·L for basic scatters."""
-    colors, probs, is_pdfs, scats = tape
-
-    def body(L, entry):
-        color, prob, is_pdf, scat_mask = entry
-        cand = color * prob[..., None] * L
-        cand = jnp.where(is_pdf[..., None], _filter_invalid(cand), cand)
-        return jnp.where(scat_mask[..., None], cand, L), None
-
-    L, _ = jax.lax.scan(body, term_color, (colors, probs, is_pdfs, scats),
-                        reverse=True)
-    return L
+            term_acc, fold)
 
 
 def camera_rays(cs: CompiledScene, pix, width, height, sample, seed):
@@ -346,7 +385,6 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
     (early_exit=False) has a fixed trip count and is reverse-differentiable
     (used by the diff module as the path-replay backward).
     """
-    n = o.shape[0]
     # derive the init state from o so every carry component is varying over
     # any shard_map mesh axes the inputs are varying over
     zero = o[:, 0] * 0.0
@@ -356,31 +394,26 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
              zero,           # accumulated ray length
              zero3,          # terminal color
              zero,           # terminal attenuation factor
-             zero)           # terminal accumulated length
+             zero,           # terminal accumulated length
+             fold_init(zero3))
 
     if early_exit:
-        zl = jnp.broadcast_to(zero, (max_depth, n))
-        tape0 = (jnp.broadcast_to(zero3, (max_depth, n, 3)),
-                 zl, zl > 1.0, zl > 1.0)
-
         def cond(state):
-            bounce, carry, _ = state
+            bounce, carry = state
             return (bounce < max_depth) & jnp.any(carry[2])
 
         def body(state):
-            bounce, carry, tape = state
-            carry, entry = bounce_step(cs, carry, bounce, pix, sample, seed)
-            tape = tuple(t.at[bounce].set(e) for t, e in zip(tape, entry))
-            return bounce + 1, carry, tape
+            bounce, carry = state
+            carry = bounce_step(cs, carry, bounce, pix, sample, seed)
+            return bounce + 1, carry
 
-        _, carry, tape = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry, tape0))
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
         def step(carry, bounce):
-            return bounce_step(cs, carry, bounce, pix, sample, seed)
+            return bounce_step(cs, carry, bounce, pix, sample, seed), None
 
-        carry, tape = jax.lax.scan(step, carry, jnp.arange(max_depth))
-    o_f, d_f, alive, _, term_color, term_af, term_acc = carry
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(max_depth))
+    o_f, d_f, alive, _, term_color, term_af, term_acc, fold = carry
 
     # Depth-cap resolution (renderer/mod.rs:164-206 at depth == max_depth):
     # a still-alive ray that hits something shades to black (shader.rs:70-72),
@@ -397,7 +430,7 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
         jnp.any(alive), cap, lambda args: (args[3], args[4]),
         (o_f, d_f, alive, term_color, term_af))
 
-    color = unwind_tape(tape, term_color)
+    color = fold_resolve(fold, term_color)
     # top-level get_attenuated_color (material/mod.rs:124-132)
     att = jnp.where(term_af > 0.0,
                     1.0 / (1.0 + term_af * term_acc), 1.0)
@@ -515,11 +548,20 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
     None for the full image (pixel id == queue slot — skips a 32k-wide
     gather per iteration).
     Returns (accum (Np, 3) summed over n_samples, segments traced).
+
+    Lane count and loop unrolling amortize the backend's fixed
+    per-while-iteration dispatch cost (measured ~0.5-2 ms/iter on the TPU
+    tunnel regardless of body size): more lanes → fewer iterations, and
+    ``unroll`` bounce steps per iteration split the floor U ways.
     """
+    import os
+
     n_pix = width * height if pix_ids is None else pix_ids.shape[0]
-    if lanes is None:
-        lanes = min(n_pix, 32768)
     total_q = n_pix * n_samples  # python int (queue length)
+    if lanes is None:
+        lanes = int(os.environ.get("SOLSTRALE_LANES", "131072"))
+        lanes = min(lanes, total_q)
+    unroll = int(os.environ.get("SOLSTRALE_UNROLL", "1"))
 
     zero_l = jnp.zeros((lanes,), jnp.float32)
     zero3_l = jnp.zeros((lanes, 3), jnp.float32)
@@ -551,18 +593,15 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
     qpos0 = jnp.arange(lanes, dtype=jnp.int32)
     pixel0, pslot0, sample0 = assignment(qpos0)
     o0, d0 = cam_rays(pixel0, sample0)
+    zero3_l3 = jnp.zeros((lanes, 3), jnp.float32)
 
     state = dict(
         qpos=qpos0,                    # queue position per lane
         bounce=jnp.zeros((lanes,), jnp.int32),
         o=o0, d=d0,
         acc_len=zero_l,
-        path_len=jnp.zeros((lanes,), jnp.int32),
-        it=jnp.int32(0),
+        fold=fold_init(zero3_l3),
         next_q=jnp.int32(lanes),       # next unclaimed queue position
-        tape_color=jnp.zeros((max_depth, lanes, 3), jnp.float32),
-        tape_prob=jnp.zeros((max_depth, lanes), jnp.float32),
-        tape_pdf=jnp.zeros((max_depth, lanes), bool),
         accum=jnp.zeros((n_pix, 3), jnp.float32),
         segments=jnp.float32(0.0),
     )
@@ -571,6 +610,11 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         return jnp.any(state["qpos"] < total_q)
 
     def body(state):
+        for _ in range(unroll):
+            state = one_step(state)
+        return state
+
+    def one_step(state):
         qpos = state["qpos"]
         pixel, pslot, sample = assignment(jnp.minimum(qpos, total_q - 1))
         o, d = state["o"], state["d"]
@@ -597,25 +641,17 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         term_af = jnp.where(emit, sc["atten"], 0.0)
         term_acc = jnp.where(emit, total_len, 0.0)
 
-        # masked unwind (newest-first ring order)
-        path_len = state["path_len"]
-        it = state["it"]
-        max_len = jnp.max(jnp.where(terminal, path_len, 0))
-
-        def unwind_body(i, L):
-            valid = (i < path_len)
-            slot = jnp.mod(it - 1 - i, max_depth)
-            c = state["tape_color"][slot]
-            p = state["tape_prob"][slot]
-            is_pdf = state["tape_pdf"][slot]
-            cand = c * p[..., None] * L
-            cand = jnp.where(is_pdf[..., None], _filter_invalid(cand), cand)
-            return jnp.where(valid[..., None], cand, L)
-
-        L = jax.lax.fori_loop(0, max_len, unwind_body, term_color)
+        L = fold_resolve(state["fold"], term_color)
         att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
         contrib = jnp.where(terminal[..., None], L * att[..., None], 0.0)
         accum = state["accum"].at[pslot].add(contrib)
+
+        # fold this bounce's scatter level; reset regenerated lanes
+        A, B, dead, outer = fold_scatter(state["fold"], sc["tape_color"],
+                                         sc["prob"], sc["is_pdf"], scat)
+        tm = terminal[..., None]
+        fold = (jnp.where(tm, 1.0, A), jnp.where(tm, INF, B),
+                jnp.where(tm, False, dead), jnp.where(terminal, False, outer))
 
         # terminal lanes claim the next queue slots (rank by cumsum)
         term_i = terminal.astype(jnp.int32)
@@ -633,21 +669,8 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         acc2 = jnp.where(terminal, 0.0,
                          jnp.where(scat, total_len, state["acc_len"]))
 
-        ptr = jnp.mod(it, max_depth)
-        tape_color = state["tape_color"].at[ptr].set(
-            jnp.where(scat[..., None], sc["tape_color"], 0.0))
-        tape_prob = state["tape_prob"].at[ptr].set(sc["prob"])
-        tape_pdf = state["tape_pdf"].at[ptr].set(sc["is_pdf"])
-        path_len2 = jnp.where(terminal, 0,
-                              jnp.where(scat,
-                                        jnp.minimum(path_len + 1, max_depth),
-                                        path_len))
-
         return dict(qpos=new_qpos, bounce=bounce2, o=o2, d=d2,
-                    acc_len=acc2, path_len=path_len2, it=it + 1,
-                    next_q=next_q,
-                    tape_color=tape_color, tape_prob=tape_prob,
-                    tape_pdf=tape_pdf, accum=accum,
+                    acc_len=acc2, fold=fold, next_q=next_q, accum=accum,
                     segments=state["segments"]
                     + jnp.sum(active.astype(jnp.float32)))
 
@@ -701,11 +724,7 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         bounce=zero.astype(jnp.int32),        # current depth per lane
         o=o0, d=d0,
         acc_len=zero,
-        path_len=zero.astype(jnp.int32),      # valid tape entries
-        it=jnp.sum(zero).astype(jnp.int32),   # global iteration (ring ptr)
-        tape_color=jnp.broadcast_to(zero3, (max_depth, n, 3)),
-        tape_prob=jnp.broadcast_to(zero, (max_depth, n)),
-        tape_pdf=jnp.broadcast_to(zero, (max_depth, n)) > 1.0,
+        fold=fold_init(zero3),
         accum=zero3,                          # completed-sample color sum
         segments=jnp.sum(zero),               # rays traced (perf telemetry)
     )
@@ -740,25 +759,17 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         term_af = jnp.where(emit, sc["atten"], 0.0)
         term_acc = jnp.where(emit, total_len, 0.0)
 
-        # --- masked unwind for terminal lanes (newest-first ring order) ---
-        path_len = state["path_len"]
-        it = state["it"]
-        max_len = jnp.max(jnp.where(terminal, path_len, 0))
-
-        def unwind_body(i, L):
-            valid = (i < path_len)
-            slot = jnp.mod(it - 1 - i, max_depth)
-            c = state["tape_color"][slot]
-            p = state["tape_prob"][slot]
-            is_pdf = state["tape_pdf"][slot]
-            cand = c * p[..., None] * L
-            cand = jnp.where(is_pdf[..., None], _filter_invalid(cand), cand)
-            return jnp.where(valid[..., None], cand, L)
-
-        L = jax.lax.fori_loop(0, max_len, unwind_body, term_color)
+        L = fold_resolve(state["fold"], term_color)
         att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
         accum = state["accum"] + jnp.where(terminal[..., None],
                                            L * att[..., None], 0.0)
+
+        # fold this bounce's scatter level; reset regenerated lanes
+        A, B, dead, outer = fold_scatter(state["fold"], sc["tape_color"],
+                                         sc["prob"], sc["is_pdf"], scat)
+        tm = terminal[..., None]
+        fold = (jnp.where(tm, 1.0, A), jnp.where(tm, INF, B),
+                jnp.where(tm, False, dead), jnp.where(terminal, False, outer))
 
         # --- regenerate terminal lanes / advance scattering lanes ---
         new_sample = jnp.where(terminal, sample + 1, sample)
@@ -771,21 +782,8 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         acc2 = jnp.where(terminal, 0.0,
                          jnp.where(scat, total_len, state["acc_len"]))
 
-        # --- ring-buffer tape push (O(n) per iteration) ---
-        ptr = jnp.mod(it, max_depth)
-        tape_color = state["tape_color"].at[ptr].set(
-            jnp.where(scat[..., None], sc["tape_color"], 0.0))
-        tape_prob = state["tape_prob"].at[ptr].set(sc["prob"])
-        tape_pdf = state["tape_pdf"].at[ptr].set(sc["is_pdf"])
-        path_len2 = jnp.where(terminal, 0,
-                              jnp.where(scat,
-                                        jnp.minimum(path_len + 1, max_depth),
-                                        path_len))
-
         return dict(sample=new_sample, bounce=bounce2, o=o2, d=d2,
-                    acc_len=acc2, path_len=path_len2, it=it + 1,
-                    tape_color=tape_color, tape_prob=tape_prob,
-                    tape_pdf=tape_pdf, accum=accum,
+                    acc_len=acc2, fold=fold, accum=accum,
                     segments=state["segments"]
                     + jnp.sum(active.astype(jnp.float32)))
 
