@@ -47,6 +47,38 @@ class Bvh:
     lp_idx: jnp.ndarray     # (n_leaves*LEAF_SIZE,) int32
 
 
+class KernelBvh:
+    """Packet-traversal layout consumed by ops/pallas_bvh.py (planar prims
+    only — spheres are brute-forced by the caller).
+
+    Layout is dictated by Mosaic's scalar-load rule (dynamic sublane index,
+    STATIC lane index) and VMEM's (8, 128) tiling:
+    - ``rows`` (n_leaves, 128) f32: one leaf per row = KLEAF(=8) prims x 16
+      fields, so a leaf slot reads at [leaf, si*16 + f] with si/f static.
+      Zero lane padding.
+    - ``nodes`` (n_nodes_padded, 8) f32 [minx miny minz maxx maxy maxz 0 0]:
+      read at [node, f] with f static. The 8->128 lane pad costs 16x memory
+      (33 MB at 262k prims) but keeps node fetches single scalar loads.
+    ``has_spheres`` is static so sphere-free scenes skip the sphere kernel
+    entirely."""
+
+    KLEAF = 8
+
+    def __init__(self, nodes, rows, n_leaves, leaf_size, has_spheres):
+        self.nodes = nodes
+        self.rows = rows
+        self.n_leaves = int(n_leaves)
+        self.leaf_size = int(leaf_size)
+        self.has_spheres = bool(has_spheres)
+
+
+jax.tree_util.register_pytree_node(
+    KernelBvh,
+    lambda o: ((o.nodes, o.rows),
+               (o.n_leaves, o.leaf_size, o.has_spheres)),
+    lambda aux, c: KernelBvh(c[0], c[1], *aux))
+
+
 def _expand_bits(v):
     """Spread the low 10 bits of v over 30 bits (Morton interleave)."""
     v = (v * 0x00010001) & 0xFF0000FF
@@ -75,46 +107,58 @@ def solids_aabbs(s: Solids):
     Returns (kinds, idxs, aabb_min, aabb_max) for valid prims only.
     """
     PAD = 1e-4
-    kinds, idxs, mins, maxs = [], [], [], []
 
-    sc = np.asarray(s.sph_center, np.float64)
-    sr = np.asarray(s.sph_radius, np.float64)
-    for i in np.nonzero(np.asarray(s.sph_valid))[0]:
-        kinds.append(KIND_SPHERE); idxs.append(i)
-        mins.append(sc[i] - sr[i]); maxs.append(sc[i] + sr[i])
-
-    qq = np.asarray(s.qd_q, np.float64)
-    qu = np.asarray(s.qd_u, np.float64)
-    qv = np.asarray(s.qd_v, np.float64)
-    for i in np.nonzero(np.asarray(s.qd_valid))[0]:
-        pts = np.stack([qq[i], qq[i] + qu[i], qq[i] + qv[i],
-                        qq[i] + qu[i] + qv[i]])
-        lo, hi = pts.min(0), pts.max(0)
+    def padded(lo, hi):
         pad = (hi - lo) < PAD
-        lo[pad] -= PAD / 2; hi[pad] += PAD / 2
-        kinds.append(KIND_QUAD); idxs.append(i)
-        mins.append(lo); maxs.append(hi)
+        return (np.where(pad, lo - PAD / 2, lo),
+                np.where(pad, hi + PAD / 2, hi))
 
-    tv = np.asarray(s.tr_v0, np.float64)
-    te1 = np.asarray(s.tr_e1, np.float64)
-    te2 = np.asarray(s.tr_e2, np.float64)
-    for i in np.nonzero(np.asarray(s.tr_valid))[0]:
-        pts = np.stack([tv[i], tv[i] + te1[i], tv[i] + te2[i]])
-        lo, hi = pts.min(0), pts.max(0)
-        pad = (hi - lo) < PAD
-        lo[pad] -= PAD / 2; hi[pad] += PAD / 2
-        kinds.append(KIND_TRIANGLE); idxs.append(i)
-        mins.append(lo); maxs.append(hi)
+    si = np.nonzero(np.asarray(s.sph_valid))[0]
+    sc = np.asarray(s.sph_center, np.float64)[si]
+    sr = np.asarray(s.sph_radius, np.float64)[si, None]
+    s_lo, s_hi = sc - sr, sc + sr
 
-    return (np.asarray(kinds, np.int32), np.asarray(idxs, np.int32),
-            np.asarray(mins, np.float64), np.asarray(maxs, np.float64))
+    qi = np.nonzero(np.asarray(s.qd_valid))[0]
+    qq = np.asarray(s.qd_q, np.float64)[qi]
+    qu = np.asarray(s.qd_u, np.float64)[qi]
+    qv = np.asarray(s.qd_v, np.float64)[qi]
+    pts = np.stack([qq, qq + qu, qq + qv, qq + qu + qv], axis=1)
+    q_lo, q_hi = padded(pts.min(1), pts.max(1))
+
+    ti = np.nonzero(np.asarray(s.tr_valid))[0]
+    tv = np.asarray(s.tr_v0, np.float64)[ti]
+    te1 = np.asarray(s.tr_e1, np.float64)[ti]
+    te2 = np.asarray(s.tr_e2, np.float64)[ti]
+    pts = np.stack([tv, tv + te1, tv + te2], axis=1)
+    t_lo, t_hi = padded(pts.min(1), pts.max(1))
+
+    kinds = np.concatenate([np.full(len(si), KIND_SPHERE, np.int32),
+                            np.full(len(qi), KIND_QUAD, np.int32),
+                            np.full(len(ti), KIND_TRIANGLE, np.int32)])
+    idxs = np.concatenate([si, qi, ti]).astype(np.int32)
+    mins = np.concatenate([s_lo, q_lo, t_lo], axis=0)
+    maxs = np.concatenate([s_hi, q_hi, t_hi], axis=0)
+    return kinds, idxs, mins, maxs
+
+
+# prim count above which the parallel C++ Morton sort (native/) takes over
+# from numpy argsort — the counterpart of the reference's rayon::join build
+# parallelism (bvh.rs:100-103)
+NATIVE_SORT_THRESHOLD = 100_000
 
 
 def build_bvh(s: Solids, leaf_size=LEAF_SIZE) -> Bvh:
-    """Host-side LBVH build (numpy): Morton sort + complete-tree AABBs."""
+    """Host-side LBVH build: Morton sort + complete-tree AABBs. numpy for
+    small scenes; the native C++ parallel sort for large ones."""
     kinds, idxs, mins, maxs = solids_aabbs(s)
     n = len(kinds)
-    order = np.argsort(morton_codes((mins + maxs) / 2.0), kind="stable")
+    order = None
+    if n >= NATIVE_SORT_THRESHOLD:
+        from ..native import lbvh_sort
+
+        order = lbvh_sort(mins.astype(np.float32), maxs.astype(np.float32))
+    if order is None:
+        order = np.argsort(morton_codes((mins + maxs) / 2.0), kind="stable")
     kinds, idxs = kinds[order], idxs[order]
     mins, maxs = mins[order], maxs[order]
 
@@ -135,18 +179,120 @@ def build_bvh(s: Solids, leaf_size=LEAF_SIZE) -> Bvh:
     leaf_max = slot_max.reshape(n_leaves, leaf_size, 3).max(1)
 
     n_nodes = 2 * n_leaves - 1
+    nodes = None
+    if n >= NATIVE_SORT_THRESHOLD:
+        from ..native import lbvh_nodes
+
+        nodes = lbvh_nodes(slot_min.astype(np.float32),
+                           slot_max.astype(np.float32), leaf_size)
+    if nodes is not None:
+        node_min, node_max = nodes
+    else:
+        node_min = np.full((n_nodes, 3), np.inf)
+        node_max = np.full((n_nodes, 3), -np.inf)
+        node_min[n_leaves - 1:] = leaf_min
+        node_max[n_leaves - 1:] = leaf_max
+        # bottom-up, one vectorized reduction per tree level
+        lvl_min, lvl_max = leaf_min, leaf_max
+        while lvl_min.shape[0] > 1:
+            lvl_min = lvl_min.reshape(-1, 2, 3).min(1)
+            lvl_max = lvl_max.reshape(-1, 2, 3).max(1)
+            base = lvl_min.shape[0] - 1
+            node_min[base:base + lvl_min.shape[0]] = lvl_min
+            node_max[base:base + lvl_max.shape[0]] = lvl_max
+
+    # numpy-backed (host): compile_scene converts to device arrays in one
+    # pass; direct callers can use it on any backend.
+    return Bvh(node_min=node_min.astype(np.float32),
+               node_max=node_max.astype(np.float32),
+               lp_kind=lp_kind, lp_idx=lp_idx)
+
+
+def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
+    """Planar-only LBVH in the packet-kernel layout (see KernelBvh).
+    Host-side numpy build; Morton order matches build_bvh."""
+    PAD = 1e-4
+
+    def padded(lo, hi):
+        pad = (hi - lo) < PAD
+        return (np.where(pad, lo - PAD / 2, lo),
+                np.where(pad, hi + PAD / 2, hi))
+
+    Q = np.asarray(s.qd_valid).shape[0]
+    qi = np.nonzero(np.asarray(s.qd_valid))[0]
+    qq = np.asarray(s.qd_q, np.float64)[qi]
+    qu = np.asarray(s.qd_u, np.float64)[qi]
+    qv = np.asarray(s.qd_v, np.float64)[qi]
+    pts = np.stack([qq, qq + qu, qq + qv, qq + qu + qv], axis=1)
+    q_lo, q_hi = padded(pts.min(1), pts.max(1))
+
+    ti = np.nonzero(np.asarray(s.tr_valid))[0]
+    tv = np.asarray(s.tr_v0, np.float64)[ti]
+    te1 = np.asarray(s.tr_e1, np.float64)[ti]
+    te2 = np.asarray(s.tr_e2, np.float64)[ti]
+    pts = np.stack([tv, tv + te1, tv + te2], axis=1)
+    t_lo, t_hi = padded(pts.min(1), pts.max(1))
+
+    slots = np.concatenate([qi, Q + ti]).astype(np.int32)
+    mins = np.concatenate([q_lo, t_lo], axis=0)
+    maxs = np.concatenate([q_hi, t_hi], axis=0)
+    n = slots.shape[0]
+
+    order = None
+    if n >= NATIVE_SORT_THRESHOLD:
+        from ..native import lbvh_sort
+
+        order = lbvh_sort(mins.astype(np.float32), maxs.astype(np.float32))
+    if order is None:
+        order = np.argsort(morton_codes((mins + maxs) / 2.0), kind="stable")
+    slots, mins, maxs = slots[order], mins[order], maxs[order]
+
+    n_leaves = max(1, 1 << int(np.ceil(np.log2(max(1, (n + leaf_size - 1)
+                                                   // leaf_size)))))
+    n_slots = n_leaves * leaf_size
+
+    rows = np.zeros((n_slots, 16), np.float32)
+    pl_cols = np.concatenate(
+        [np.asarray(s.pl_n, np.float32),
+         np.asarray(s.pl_d, np.float32)[:, None],
+         np.asarray(s.pl_g1, np.float32),
+         np.asarray(s.pl_g1o, np.float32)[:, None],
+         np.asarray(s.pl_g2, np.float32),
+         np.asarray(s.pl_g2o, np.float32)[:, None],
+         np.asarray(s.pl_is_tri, np.float32)[:, None]], axis=1)
+    rows[:n, :13] = pl_cols[slots]
+    rows[:n, 13] = 1.0                        # valid
+    rows[:n, 14] = slots.astype(np.float32)   # planar slot id
+
+    slot_min = np.full((n_slots, 3), np.inf)
+    slot_max = np.full((n_slots, 3), -np.inf)
+    slot_min[:n] = mins
+    slot_max[:n] = maxs
+    n_nodes = 2 * n_leaves - 1
     node_min = np.full((n_nodes, 3), np.inf)
     node_max = np.full((n_nodes, 3), -np.inf)
-    node_min[n_leaves - 1:] = leaf_min
-    node_max[n_leaves - 1:] = leaf_max
-    for i in range(n_leaves - 2, -1, -1):
-        node_min[i] = np.minimum(node_min[2 * i + 1], node_min[2 * i + 2])
-        node_max[i] = np.maximum(node_max[2 * i + 1], node_max[2 * i + 2])
+    lvl_min = slot_min.reshape(n_leaves, leaf_size, 3).min(1)
+    lvl_max = slot_max.reshape(n_leaves, leaf_size, 3).max(1)
+    node_min[n_leaves - 1:] = lvl_min
+    node_max[n_leaves - 1:] = lvl_max
+    while lvl_min.shape[0] > 1:
+        lvl_min = lvl_min.reshape(-1, 2, 3).min(1)
+        lvl_max = lvl_max.reshape(-1, 2, 3).max(1)
+        base = lvl_min.shape[0] - 1
+        node_min[base:base + lvl_min.shape[0]] = lvl_min
+        node_max[base:base + lvl_max.shape[0]] = lvl_max
 
-    return Bvh(node_min=jnp.asarray(node_min, jnp.float32),
-               node_max=jnp.asarray(node_max, jnp.float32),
-               lp_kind=jnp.asarray(lp_kind),
-               lp_idx=jnp.asarray(lp_idx))
+    n_nodes_p = (n_nodes + 7) // 8 * 8
+    nodes = np.zeros((n_nodes_p, 8), np.float32)
+    # empty boxes (all-padding leaves) keep +inf/-inf -> slab test misses
+    nodes[:n_nodes, 0:3] = node_min
+    nodes[:n_nodes, 3:6] = node_max
+    has_spheres = bool(np.asarray(s.sph_valid).any())
+    assert leaf_size * 16 == 128, "one leaf per 128-lane row"
+    return KernelBvh(nodes=nodes,
+                     rows=rows.reshape(n_leaves, 128),
+                     n_leaves=n_leaves, leaf_size=leaf_size,
+                     has_spheres=has_spheres)
 
 
 def build_bvh_device(aabb_min, aabb_max, kinds, idxs, leaf_size=LEAF_SIZE):
@@ -272,6 +418,9 @@ def _intersect_one(s: Solids, kind, idx, o, d, tmin, tmax):
 def bvh_closest_hit(bvh: Bvh, s: Solids, o, d, tmin, tmax, leaf_size=LEAF_SIZE):
     """Wavefront stack traversal. Returns (t, kind, idx) like
     ops.intersect.closest_solid_hit."""
+    # accept host (numpy-backed) Bvh/Solids from direct build_bvh callers
+    bvh = jax.tree.map(jnp.asarray, bvh)
+    s = jax.tree.map(jnp.asarray, s)
     R = o.shape[0]
     n_nodes = bvh.node_min.shape[0]
     n_leaves = (n_nodes + 1) // 2

@@ -143,9 +143,10 @@ def _planar_t_mxu(n, dpl, g1, g1o, g2, g2o, is_tri, valid, o, d, tmin, tmax):
 
 def _pallas_sweep_enabled():
     """Route sweeps through the Pallas fused kernel on TPU backends
-    (override with SOLSTRALE_PALLAS=0/1). The XLA sweep materializes (R,P)
-    intermediates in HBM; the Pallas kernel keeps the primitive loop in
-    VMEM/registers."""
+    (override with SOLSTRALE_PALLAS=0/1; =1 on CPU runs the kernels in
+    interpreter mode — the golden-suite validation path for the shipped
+    kernels). The XLA sweep materializes (R,P) intermediates in HBM; the
+    Pallas kernel keeps the primitive loop in VMEM/registers."""
     import os
 
     flag = os.environ.get("SOLSTRALE_PALLAS", "auto")
@@ -160,6 +161,13 @@ def _pallas_sweep_enabled():
     return jax.default_backend() not in ("cpu",)
 
 
+def _auto_interpret():
+    """Pallas kernels run compiled on TPU, interpreted on CPU backends."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def closest_solid_hit(s: Solids, o, d, tmin, tmax):
     """Closest hit over all solid tables (MXU-form sweeps, or the Pallas
     fused sweep on TPU).
@@ -169,7 +177,8 @@ def closest_solid_hit(s: Solids, o, d, tmin, tmax):
     if _pallas_sweep_enabled():
         from .pallas_sweep import closest_solid_hit_pallas
 
-        return closest_solid_hit_pallas(s, o, d, tmin, tmax)
+        return closest_solid_hit_pallas(s, o, d, tmin, tmax,
+                                        interpret=_auto_interpret())
     r = o.shape[0]
     if jnp.ndim(tmin):
         tmin = tmin.reshape(r, 1)
@@ -292,7 +301,8 @@ def medium_hit(medium, o, d, t_solid, u_flight):
     if _pallas_sweep_enabled():
         from .pallas_sweep import medium_hit_pallas
 
-        return medium_hit_pallas(medium, o, d, t_solid, u_flight)
+        return medium_hit_pallas(medium, o, d, t_solid, u_flight,
+                                 interpret=_auto_interpret())
     t1, _, _ = closest_solid_hit(medium.boundary, o, d, -INF, INF)
     t2, _, _ = closest_solid_hit(medium.boundary, o, d, t1 + 1e-4, INF)
     both = jnp.isfinite(t1) & jnp.isfinite(t2)

@@ -147,10 +147,14 @@ def _pack_tables(solids):
     return sph, pln
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def closest_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
+@functools.partial(jax.jit, static_argnames=("spheres_only", "interpret"))
+def closest_hit_pallas(solids, o, d, tmin, tmax, spheres_only=False,
+                       interpret=False):
     """Pallas-fused closest hit. Returns (t, slot) with slot < S for
-    spheres, S+planar_slot otherwise, -1 on miss (t=INF)."""
+    spheres, S+planar_slot otherwise, -1 on miss (t=INF).
+
+    spheres_only=True skips the planar sweep (used by the BVH fast path,
+    which traverses planar prims itself — ops/pallas_bvh.py)."""
     r = o.shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
@@ -166,8 +170,10 @@ def closest_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
     # padding rays have zero direction + [0, 0] interval; their results are
     # sliced off below
     sph, pln = _pack_tables(solids)
+    if spheres_only:
+        pln = jnp.zeros((1, 16), jnp.float32)  # unused dummy (n_pl = 0)
     n_sph = sph.shape[0]
-    n_pl = pln.shape[0]
+    n_pl = 0 if spheres_only else pln.shape[0]
 
     grid = (n_pad // BLOCK,)
     ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),

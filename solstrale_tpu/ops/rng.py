@@ -112,9 +112,11 @@ def unit_vector(r1, r2):
 
 def in_unit_sphere(r1, r2, r3):
     """Uniform point inside the unit ball (vec3.rs:380-392 rejection loop
-    replaced by radius-CDF inversion)."""
+    replaced by radius-CDF inversion). cbrt is written as exp(log/3) so the
+    Pallas megakernel (renderer/megakernel.py) reproduces it bit-identically
+    (Mosaic has exp/log but no cbrt)."""
     d = unit_vector(r1, r2)
-    radius = jnp.cbrt(jnp.maximum(r3, 1e-12))
+    radius = jnp.exp(jnp.log(jnp.maximum(r3, 1e-12)) / 3.0)
     return d * radius[..., None]
 
 

@@ -114,11 +114,22 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
     Returns (t, kind, idx) with kind=KIND_MEDIUM for volume scattering.
     Uses the flattened LBVH when the compiled scene carries one."""
     if cs.bvh is not None:
-        from ..accel import bvh_closest_hit
+        from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
 
-        t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, o, d, RAY_T_MIN, INF)
+        if _pallas_sweep_enabled() and cs.kbvh is not None:
+            # packet BVH kernel + brute sphere sweep (ops/pallas_bvh.py)
+            from ..ops.pallas_bvh import bvh_closest_hit_pallas
+
+            t, kind, idx = bvh_closest_hit_pallas(
+                cs.kbvh, cs.solids, o, d, RAY_T_MIN, INF,
+                interpret=_auto_interpret())
+        else:
+            from ..accel import bvh_closest_hit
+
+            t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, o, d,
+                                           RAY_T_MIN, INF)
     else:
-        from ..ops.intersect import _pallas_sweep_enabled
+        from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
 
         if _pallas_sweep_enabled():
             # whole scene_hit (solids + all medium events) in ONE kernel
@@ -128,7 +139,8 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
                 rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i,
                             seed)
                 for m_i in range(len(cs.media)))
-            return scene_hit_fused(cs, o, d, u_flights, RAY_T_MIN)
+            return scene_hit_fused(cs, o, d, u_flights, RAY_T_MIN,
+                                   interpret=_auto_interpret())
         t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
     for m_i, med in enumerate(cs.media):
         u = rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i, seed)

@@ -185,6 +185,7 @@ class CompiledScene:
     bg_color: jnp.ndarray   # (3,)
     camera: CameraSoA
     bvh: object = None      # accel.Bvh when the scene is large enough
+    kbvh: object = None     # accel.KernelBvh (Pallas packet-traversal layout)
     # static feature flags (trace-time constants): subset of
     # {"blend", "normal_maps"} — lets the integrator skip whole code paths
     # (blend-chain resolution, normal-map texture fetches) for scenes that
@@ -385,7 +386,9 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
         tr_valid[sl] = True
         off += k
 
-    # --- unified planar functional table (quads then tris), host f64 ---
+    # --- unified planar functional table (quads then tris), host f64,
+    # fully numpy-vectorized (a 262k-triangle scene compiles in well under
+    # a second; the former per-primitive Python loops took minutes) ---
     Pp = Q + T
     pl_n = np.zeros((Pp, 3)); pl_n[:, 2] = 1.0
     pl_d = np.zeros(Pp)
@@ -394,41 +397,39 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
     pl_is_tri = np.zeros(Pp, bool)
     pl_idx = np.zeros(Pp, i32)
     pl_valid = np.zeros(Pp, bool)
-    for i in range(Q):
-        if not qd_valid[i]:
-            continue
-        n_raw = np.cross(qd_u[i], qd_v[i])
-        nn = float(np.dot(n_raw, n_raw))
-        if nn <= 0:
-            continue
-        # quads use the UNIT normal in the eps test (quad.rs:151-155)
-        pl_n[i] = qd_normal[i]
-        pl_d[i] = qd_d[i]
-        g1 = np.cross(qd_v[i], n_raw) / nn      # u = (hp-q)·(v×n)/|n|²
-        g2 = np.cross(n_raw, qd_u[i]) / nn      # v = (hp-q)·(n×u)/|n|²
-        pl_g1[i], pl_g1o[i] = g1, -np.dot(qd_q[i], g1)
-        pl_g2[i], pl_g2o[i] = g2, -np.dot(qd_q[i], g2)
-        pl_idx[i] = i
-        pl_valid[i] = True
-    for i in range(T):
-        if not tr_valid[i]:
-            continue
-        n_raw = np.cross(tr_e1[i], tr_e2[i])
-        nn = float(np.dot(n_raw, n_raw))
-        if nn <= 0:
-            continue
-        # tris use the RAW normal: |d·(e1×e2)| == Möller's |det|
-        # (triangle.rs:119-125)
-        k = Q + i
-        pl_n[k] = n_raw
-        pl_d[k] = np.dot(n_raw, tr_v0[i])
-        g1 = np.cross(tr_e2[i], n_raw) / nn     # dual basis of (e1, e2)
-        g2 = np.cross(n_raw, tr_e1[i]) / nn
-        pl_g1[k], pl_g1o[k] = g1, -np.dot(tr_v0[i], g1)
-        pl_g2[k], pl_g2o[k] = g2, -np.dot(tr_v0[i], g2)
-        pl_is_tri[k] = True
-        pl_idx[k] = i
-        pl_valid[k] = True
+
+    # quads: UNIT normal in the eps test (quad.rs:151-155)
+    nq_raw = np.cross(qd_u, qd_v)
+    nn_q = np.einsum("ij,ij->i", nq_raw, nq_raw)
+    ok_q = qd_valid & (nn_q > 0)
+    nn_qs = np.where(nn_q > 0, nn_q, 1.0)[:, None]
+    g1_q = np.cross(qd_v, nq_raw) / nn_qs       # u = (hp-q)·(v×n)/|n|²
+    g2_q = np.cross(nq_raw, qd_u) / nn_qs       # v = (hp-q)·(n×u)/|n|²
+    pl_n[:Q] = np.where(ok_q[:, None], qd_normal, pl_n[:Q])
+    pl_d[:Q] = np.where(ok_q, qd_d, 0.0)
+    pl_g1[:Q] = np.where(ok_q[:, None], g1_q, 0.0)
+    pl_g1o[:Q] = np.where(ok_q, -np.einsum("ij,ij->i", qd_q, g1_q), 0.0)
+    pl_g2[:Q] = np.where(ok_q[:, None], g2_q, 0.0)
+    pl_g2o[:Q] = np.where(ok_q, -np.einsum("ij,ij->i", qd_q, g2_q), 0.0)
+    pl_idx[:Q] = np.where(ok_q, np.arange(Q, dtype=i32), 0)
+    pl_valid[:Q] = ok_q
+
+    # tris: RAW normal — |d·(e1×e2)| == Möller's |det| (triangle.rs:119-125)
+    nt_raw = np.cross(tr_e1, tr_e2)
+    nn_t = np.einsum("ij,ij->i", nt_raw, nt_raw)
+    ok_t = tr_valid & (nn_t > 0)
+    nn_ts = np.where(nn_t > 0, nn_t, 1.0)[:, None]
+    g1_t = np.cross(tr_e2, nt_raw) / nn_ts      # dual basis of (e1, e2)
+    g2_t = np.cross(nt_raw, tr_e1) / nn_ts
+    pl_n[Q:] = np.where(ok_t[:, None], nt_raw, pl_n[Q:])
+    pl_d[Q:] = np.where(ok_t, np.einsum("ij,ij->i", nt_raw, tr_v0), 0.0)
+    pl_g1[Q:] = np.where(ok_t[:, None], g1_t, 0.0)
+    pl_g1o[Q:] = np.where(ok_t, -np.einsum("ij,ij->i", tr_v0, g1_t), 0.0)
+    pl_g2[Q:] = np.where(ok_t[:, None], g2_t, 0.0)
+    pl_g2o[Q:] = np.where(ok_t, -np.einsum("ij,ij->i", tr_v0, g2_t), 0.0)
+    pl_is_tri[Q:] = ok_t
+    pl_idx[Q:] = np.where(ok_t, np.arange(T, dtype=i32), 0)
+    pl_valid[Q:] = ok_t
 
     sph_attr = np.concatenate(
         [sph_center, sph_radius[:, None],
@@ -439,29 +440,35 @@ def _build_solids(spheres, quads, tris, mats, meshes=()):
     pl_tangent = np.zeros((Pp, 3)); pl_bitangent = np.zeros((Pp, 3))
     pl_uv0 = np.zeros((Pp, 2)); pl_duv1 = np.zeros((Pp, 2))
     pl_duv2 = np.zeros((Pp, 2)); pl_mat_col = np.zeros(Pp)
-    for i in range(Q):
-        un = np.linalg.norm(qd_u[i]); vn = np.linalg.norm(qd_v[i])
-        pl_tangent[i] = qd_u[i] / un if un > 0 else [1, 0, 0]
-        pl_bitangent[i] = qd_v[i] / vn if vn > 0 else [0, 1, 0]
-        pl_duv1[i] = [1.0, 0.0]; pl_duv2[i] = [0.0, 1.0]
-        pl_mat_col[i] = qd_mat[i]
-    for i in range(T):
-        k = Q + i
-        pl_tangent[k] = tr_tangent[i]
-        pl_bitangent[k] = tr_bitangent[i]
-        pl_uv0[k] = tr_uv0[i]
-        pl_duv1[k] = tr_uv1[i] - tr_uv0[i]
-        pl_duv2[k] = tr_uv2[i] - tr_uv0[i]
-        pl_mat_col[k] = tr_mat[i]
+    un = np.linalg.norm(qd_u, axis=-1)
+    vn = np.linalg.norm(qd_v, axis=-1)
+    pl_tangent[:Q] = np.where((un > 0)[:, None],
+                              qd_u / np.maximum(un, 1e-300)[:, None],
+                              [[1.0, 0.0, 0.0]])
+    pl_bitangent[:Q] = np.where((vn > 0)[:, None],
+                                qd_v / np.maximum(vn, 1e-300)[:, None],
+                                [[0.0, 1.0, 0.0]])
+    pl_duv1[:Q] = [1.0, 0.0]
+    pl_duv2[:Q] = [0.0, 1.0]
+    pl_mat_col[:Q] = qd_mat
+    pl_tangent[Q:] = tr_tangent
+    pl_bitangent[Q:] = tr_bitangent
+    pl_uv0[Q:] = tr_uv0
+    pl_duv1[Q:] = tr_uv1 - tr_uv0
+    pl_duv2[Q:] = tr_uv2 - tr_uv0
+    pl_mat_col[Q:] = tr_mat
     pl_unit_n = np.concatenate([qd_normal, tr_normal], axis=0)
     pl_attr = np.concatenate(
         [pl_unit_n, pl_g1, pl_g1o[:, None], pl_g2, pl_g2o[:, None],
          pl_tangent, pl_bitangent, pl_uv0, pl_duv1, pl_duv2,
          pl_mat_col[:, None], pl_is_tri[:, None].astype(np.float64)], axis=1)
 
-    j = lambda x: jnp.asarray(np.asarray(x, f32))
-    ji = lambda x: jnp.asarray(np.asarray(x, i32))
-    jb = lambda x: jnp.asarray(x)
+    # host (numpy) arrays: the BVH build reads them without device
+    # round-trips; compile_scene converts the whole tree to device arrays
+    # in one pass at the end.
+    j = lambda x: np.asarray(x, f32)
+    ji = lambda x: np.asarray(x, i32)
+    jb = lambda x: np.asarray(x)
     return Solids(
         sph_center=j(sph_center), sph_radius=j(sph_radius),
         sph_mat=ji(sph_mat), sph_valid=jb(sph_valid),
@@ -582,10 +589,12 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     n_solids = (len(out["spheres"]) + len(out["quads"])
                 + len(out["triangles"]) + sum(len(m) for m in out["meshes"]))
     bvh = None
+    kbvh = None
     if use_bvh or (use_bvh is None and n_solids > BVH_THRESHOLD):
-        from ..accel import build_bvh
+        from ..accel import build_bvh, build_kernel_bvh
 
         bvh = build_bvh(solids)
+        kbvh = build_kernel_bvh(solids)
 
     material_table = mats.build()
     features = set()
@@ -593,8 +602,12 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
         features.add("blend")
     if any(r["normal_tex"] >= 0 for r in mats.rows):
         features.add("normal_maps")
+    if any(w > 1 or h > 1 for w, h in zip(arena.w, arena.h)):
+        features.add("image_tex")   # megakernel gate: solid colors only
+    if out["spheres"]:
+        features.add("spheres")
 
-    return CompiledScene(
+    cs = CompiledScene(
         solids=solids,
         media=tuple(media),
         lights=lights,
@@ -604,5 +617,9 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
         camera=compile_camera(scene.camera, scene.render_config.width,
                               scene.render_config.height),
         bvh=bvh,
+        kbvh=kbvh,
         features=frozenset(features),
     )
+    # single host→device pass for every array leaf (numpy leaves from
+    # _build_solids / build_bvh become committed device arrays here)
+    return jax.tree.map(jnp.asarray, cs)

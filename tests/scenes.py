@@ -201,3 +201,41 @@ def create_blend_material_scene(render_config, blend_factor):
     camera = CameraConfig(vertical_fov_degrees=35.0,
                           look_from=(0.0, 400.0, -100.0))
     return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_sponza_class_scene(render_config, n_cells=362, seed=7):
+    """Sponza-class workload: a procedurally displaced terrain mesh of
+    2*n_cells^2 triangles (default 262,088 — the scale of the reference
+    README's sponza render) inside a lit room. Stresses the same things the
+    sponza benchmark does — a deep BVH over a large triangle soup with an
+    interior camera — without shipping a large binary asset.
+    """
+    from solstrale_tpu.scene import TriangleMesh
+
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-10.0, 10.0, n_cells + 1)
+    zs = np.linspace(-10.0, 10.0, n_cells + 1)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = (np.sin(X * 0.7) * np.cos(Z * 0.9)
+         + 0.15 * rng.standard_normal(X.shape))
+    P = np.stack([X, Y, Z], -1)
+    a, b, c, d = P[:-1, :-1], P[1:, :-1], P[1:, 1:], P[:-1, 1:]
+    verts = np.concatenate(
+        [np.stack([a, b, c], axis=2).reshape(-1, 3, 3),
+         np.stack([a, c, d], axis=2).reshape(-1, 3, 3)], 0)
+    terrain = TriangleMesh(verts, Lambertian(SolidColor(0.73, 0.73, 0.73)))
+    world = [
+        terrain,
+        # room shell so secondary rays keep bouncing (interior workload)
+        Quad((-12, -3, -12), (24, 0, 0), (0, 0, 24),
+             Lambertian(SolidColor(0.5, 0.5, 0.5))),
+        Quad((-12, -3, -12), (24, 0, 0), (0, 14, 0),
+             Lambertian(SolidColor(0.6, 0.5, 0.4))),
+        Quad((-12, -3, 12), (24, 0, 0), (0, 14, 0),
+             Lambertian(SolidColor(0.4, 0.5, 0.6))),
+        Quad((-4, 10.5, -4), (8, 0, 0), (0, 0, 8),
+             DiffuseLight(15.0, 15.0, 15.0)),
+    ]
+    camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
+                          look_from=(0.0, 6.0, 14.0), look_at=(0.0, 0.0, 0.0))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)

@@ -96,3 +96,70 @@ def test_pallas_scene_hit_fused_matches_xla():
     same = (np.asarray(k_ref) == np.asarray(k_f)) & \
         (np.asarray(i_ref) == np.asarray(i_f))
     assert same[hit_ref].mean() > 0.999
+
+
+def test_pallas_bvh_matches_brute_force_kitchen_sink():
+    """Packet BVH kernel (+ sphere sweep) == brute-force sweep on the
+    kitchen-sink scene (all primitive kinds)."""
+    from solstrale_tpu.accel import build_kernel_bvh
+    from solstrale_tpu.ops.pallas_bvh import bvh_closest_hit_pallas
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    kbvh = build_kernel_bvh(cs.solids)
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    t_ref, k_ref, i_ref = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+    t_b, k_b, i_b = bvh_closest_hit_pallas(kbvh, cs.solids, o, d,
+                                           RAY_T_MIN, INF, interpret=True)
+
+    hit_ref = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(hit_ref, np.isfinite(np.asarray(t_b)))
+    np.testing.assert_allclose(np.asarray(t_ref)[hit_ref],
+                               np.asarray(t_b)[hit_ref], rtol=1e-5, atol=1e-5)
+    same = (np.asarray(k_ref) == np.asarray(k_b)) & \
+        (np.asarray(i_ref) == np.asarray(i_b))
+    # exact ties (coincident quads in the fixture) resolve by visit order,
+    # which differs between table order and Morton order
+    assert same[hit_ref].mean() > 0.995
+
+
+def test_pallas_bvh_matches_brute_force_large_mesh():
+    """Packet BVH kernel == brute-force sweep on a >100k-triangle mesh
+    (sponza-class fixture, camera-like coherent rays + random rays)."""
+    from scenes import create_sponza_class_scene
+    from solstrale_tpu.ops.pallas_bvh import bvh_closest_hit_pallas
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    # smaller grid than the bench (interpreter-mode runtime) but >100k tris
+    cs = compile_scene(create_sponza_class_scene(cfg, n_cells=229))
+    assert cs.kbvh is not None
+    n_tris = int(np.asarray(cs.solids.tr_valid).sum())
+    assert n_tris > 100_000
+
+    rng = np.random.default_rng(6)
+    n = 1024
+    # half coherent camera-ish rays, half random
+    o1 = np.tile(np.array([[0.0, 6.0, 14.0]], np.float32), (n // 2, 1))
+    d1 = (np.array([[0.0, -0.35, -1.0]], np.float32)
+          + 0.2 * rng.normal(size=(n // 2, 3)).astype(np.float32))
+    o2 = rng.uniform(-11, 11, (n // 2, 3)).astype(np.float32)
+    d2 = rng.normal(size=(n // 2, 3)).astype(np.float32)
+    o = jnp.asarray(np.concatenate([o1, o2]))
+    d = jnp.asarray(np.concatenate([d1, d2]))
+
+    t_ref, k_ref, i_ref = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
+    t_b, k_b, i_b = bvh_closest_hit_pallas(cs.kbvh, cs.solids, o, d,
+                                           RAY_T_MIN, INF, interpret=True)
+
+    hit_ref = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_array_equal(hit_ref, np.isfinite(np.asarray(t_b)))
+    np.testing.assert_allclose(np.asarray(t_ref)[hit_ref],
+                               np.asarray(t_b)[hit_ref], rtol=1e-4, atol=1e-4)
+    same = (np.asarray(k_ref) == np.asarray(k_b)) & \
+        (np.asarray(i_ref) == np.asarray(i_b))
+    assert same[hit_ref].mean() > 0.999
