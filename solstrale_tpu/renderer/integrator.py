@@ -814,7 +814,20 @@ def render_sample_batch(cs: CompiledScene, sample_start, seed, *, width,
     pix = jnp.arange(width * height, dtype=jnp.int32)
     zero = jnp.zeros((width * height, 3), jnp.float32)
 
-    if shader_kind == SHADER_PATH:
+    from . import megakernel
+    from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
+
+    use_mega = (_pallas_sweep_enabled()
+                and megakernel.megakernel_supported(
+                    cs, need_aux=need_aux, shader_kind=shader_kind))
+    if use_mega:
+        # single-launch megakernel: the whole progressive batch in one
+        # pallas_call — no per-bounce dispatch overhead at all
+        color, segments = megakernel.render_batch_megakernel(
+            cs, sample_start, jnp.int32(n_samples), seed, width=width,
+            height=height, max_depth=max_depth,
+            interpret=_auto_interpret())
+    elif shader_kind == SHADER_PATH:
         color, segments = trace_queued(
             cs, None, sample_start, n_samples, seed, width=width,
             height=height, max_depth=max_depth)

@@ -1,0 +1,81 @@
+"""Megakernel equivalence (interpreter mode on CPU): the single-launch
+render kernel (renderer/megakernel.py) must reproduce the work-queue
+wavefront integrator's estimator draw-for-draw — same counter RNG streams,
+same material/NEE/clamp-fold semantics (renderer/integrator.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from scenes import create_simple_test_scene, create_test_scene
+from solstrale_tpu import RenderConfig
+from solstrale_tpu.renderer import integrator, megakernel
+from solstrale_tpu.scene import (Blend, Bvh, CameraConfig, ConstantMedium,
+                                 Dielectric, DiffuseLight, Lambertian, Metal,
+                                 Quad, Scene, SolidColor, Sphere, new_box)
+from solstrale_tpu.scene.compile import compile_scene
+
+
+def _mini_kitchen_sink(render_config):
+    """Solid-color analogue of the kitchen-sink scene: every material kind
+    the megakernel dispatches (lambertian/metal/dielectric/light/blend) plus
+    a constant medium and a thin-lens camera."""
+    camera = CameraConfig(vertical_fov_degrees=20.0, aperture_size=0.1,
+                          look_from=(-5.0, 3.0, 6.0),
+                          look_at=(0.25, 1.0, 0.0))
+    red = Lambertian(SolidColor(1, 0, 0))
+    world = [
+        Quad((-5, 0, -15), (20, 0, 0), (0, 0, 20),
+             Blend(Lambertian(SolidColor(0.3, 0.6, 0.3)),
+                   Metal(SolidColor(0.8, 0.8, 0.9), None, 0.2), 0.4)),
+        Sphere((-1, 1, 0), 1.0, Dielectric(SolidColor(1, 1, 1), None, 1.5)),
+        ConstantMedium(
+            Bvh(new_box((0, 0, 0.5), (1, 2, 1.5), red)), 0.1, (1, 1, 1)),
+        Sphere((10, 5, 10), 10.0, DiffuseLight(10, 10, 10)),
+        Quad((-1, 10, -1), (2, 0, 0), (0, 0, 2),
+             DiffuseLight(12, 12, 12, attenuation_half_length=10.0)),
+    ]
+    world += new_box((0, 0, -0.5), (1, 2, 0.5), red)
+    return Scene(Bvh(world), camera, (0.2, 0.3, 0.5), render_config)
+
+
+def _compare(scene, width, height, spp, max_depth=8, seed=3, tol=2e-3):
+    cs = compile_scene(scene, use_bvh=False)
+    assert megakernel.megakernel_supported(
+        cs, need_aux=False, shader_kind=integrator.SHADER_PATH)
+
+    ref, segs_ref = integrator.trace_queued(
+        cs, None, jnp.int32(1), spp, jnp.int32(seed), width=width,
+        height=height, max_depth=max_depth)
+    got, segs = megakernel.render_batch_megakernel(
+        cs, jnp.int32(1), jnp.int32(spp), jnp.int32(seed), width=width,
+        height=height, max_depth=max_depth, interpret=True)
+
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    assert got.shape == ref.shape
+    # identical RNG draws => near-bit-identical sums (fp reassociation only)
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+    assert float(segs) == float(segs_ref)
+
+
+def test_megakernel_simple_scene():
+    cfg = RenderConfig(width=24, height=16, samples_per_pixel=4)
+    _compare(create_simple_test_scene(cfg), 24, 16, 4)
+
+
+def test_megakernel_kitchen_sink_solid():
+    cfg = RenderConfig(width=16, height=12, samples_per_pixel=3)
+    _compare(_mini_kitchen_sink(cfg), 16, 12, 3)
+
+
+def test_megakernel_unsupported_gates():
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    # kitchen-sink scene carries image textures + normal maps -> wavefront
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    assert not megakernel.megakernel_supported(
+        cs, need_aux=False, shader_kind=integrator.SHADER_PATH)
+    simple = compile_scene(create_simple_test_scene(
+        RenderConfig(width=8, height=8, samples_per_pixel=1)), use_bvh=False)
+    assert not megakernel.megakernel_supported(
+        simple, need_aux=True, shader_kind=integrator.SHADER_PATH)
+    assert not megakernel.megakernel_supported(
+        simple, need_aux=False, shader_kind=integrator.SHADER_ALBEDO)
