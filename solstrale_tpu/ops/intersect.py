@@ -21,6 +21,10 @@ from ..scene.compile import (KIND_MEDIUM, KIND_QUAD, KIND_SPHERE,
 # R * CHUNK intermediates.
 CHUNK = 2048
 
+# one-hot MXU lookups beat scalar-unit gathers only while the table is
+# small; beyond this row count fall back to an XLA gather
+ONEHOT_MAX_ROWS = 8192
+
 
 def _contains(t, tmin, tmax):
     return (t >= tmin) & (t <= tmax)
@@ -217,8 +221,14 @@ def closest_solid_hit(s: Solids, o, d, tmin, tmax):
 def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
     """Gather-free row lookup: rows of `table` selected by `idx` via an
     exact one-hot (R, P) x (P, K) matmul (MXU). TPU gathers run ~1 element
-    per cycle on the scalar unit; this runs on the systolic array."""
+    per cycle on the scalar unit; this runs on the systolic array.
+
+    Above ONEHOT_MAX_ROWS the FLOP cost (R x P x K) dwarfs the gather cost
+    and the lookup falls back to a plain XLA row gather — at sponza scale
+    (262k prims) the one-hot form would be ~1 TFLOP per bounce."""
     r = idx.shape[0]
+    if n_rows > ONEHOT_MAX_ROWS:
+        return table[jnp.clip(idx, 0, n_rows - 1)].astype(jnp.float32)
     out = jnp.zeros((r, table.shape[1]), jnp.float32)
     for a in range(0, n_rows, chunk):
         size = min(chunk, n_rows - a)

@@ -85,6 +85,52 @@ def render_sample_sharded(cs, sample, seed, mesh, *, width, height, max_depth,
     return to_image(color), to_image(albedo), to_image(normal)
 
 
+def render_batch_sharded(cs, sample_start, n_samples, seed, mesh, *, width,
+                         height, max_depth):
+    """A whole progressive sample batch sharded over the mesh, with each
+    tile-shard running the work-queue wavefront (integrator.trace_queued) —
+    the ≈100%-occupancy integrator — over its own pixel partition.
+
+    Pixels are partitioned across ``tile``; sample sub-batches across
+    ``sample`` (shard k renders samples [start + k·q, start + (k+1)·q) where
+    q = n_samples / n_sample_shards); partial sums psum-reduce over
+    ``sample``. Counter-based RNG keyed on (pixel, sample) makes every
+    partition bit-identical to the single-device render (test_sharding.py).
+
+    Returns (color_image (H, W, 3) summed over n_samples, total segments).
+    """
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    assert n_samples % n_sample == 0, (n_samples, n_sample)
+    per_shard = n_samples // n_sample
+    n_pix = width * height
+    n_padded = _pad_to(n_pix, n_tile)
+
+    # pad with repeats of pixel 0; padding contributions are dropped below
+    pix = jnp.arange(n_padded, dtype=jnp.int32)
+    pix = jnp.where(pix < n_pix, pix, 0)
+    sample_offsets = jnp.arange(n_sample, dtype=jnp.int32) * per_shard
+
+    # check_vma=False: trace_queued's zero-initialized while_loop carries
+    # are unvarying; the collective-safety check would demand pvary noise
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("tile"), P("sample"), P(), P()),
+             out_specs=(P("tile"), P()), check_vma=False)
+    def shard_fn(cs_rep, pix_shard, sample_off, sample_base, seed_):
+        accum, segs = integrator.trace_queued(
+            cs_rep, pix_shard, sample_base + sample_off[0], per_shard,
+            seed_, width=width, height=height, max_depth=max_depth)
+        accum = jax.lax.psum(accum, "sample")
+        segs = jax.lax.psum(segs, ("tile", "sample"))
+        return accum, segs
+
+    accum, segs = shard_fn(cs, pix, sample_offsets,
+                           jnp.asarray(sample_start, jnp.int32),
+                           jnp.asarray(seed, jnp.int32))
+    color = accum[:n_pix].reshape(height, width, 3)[::-1]
+    return color, segs
+
+
 def replicate_scene(cs, mesh):
     """Place the compiled scene replicated on every device (the reference
     replicates the scene per thread implicitly via shared memory; on a TPU

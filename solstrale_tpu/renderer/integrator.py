@@ -421,10 +421,34 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
 
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
-        def step(carry, bounce):
-            return bounce_step(cs, carry, bounce, pix, sample, seed), None
+        # Reverse-differentiable bounce loop with MEMORY-BOUNDED backward:
+        # a two-level scan with the inner chunk rematerialized
+        # (jax.checkpoint). Reverse-mode stores only the ~23 floats/lane
+        # carry at the n_outer chunk boundaries and replays each chunk's
+        # bounces from its boundary carry during the backward sweep — the
+        # path-replay backward (counter-based RNG makes the replay draw the
+        # identical sampling decisions). A flat scan tape would hold every
+        # bounce's full wavefront intermediates (O(depth·R) — OOM at
+        # 300x200 @ depth 50).
+        chunk = max((k for k in range(1, max_depth + 1)
+                     if max_depth % k == 0 and k * k <= max_depth * 2),
+                    default=1)
+        n_outer = max_depth // chunk
 
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(max_depth))
+        @jax.checkpoint
+        def inner(carry, bounce0):
+            def step(carry, j):
+                return bounce_step(cs, carry, bounce0 + j, pix, sample,
+                                   seed), None
+
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(chunk))
+            return carry
+
+        def outer_step(carry, i):
+            return inner(carry, i * chunk), None
+
+        carry, _ = jax.lax.scan(outer_step, carry,
+                                jnp.arange(n_outer, dtype=jnp.int32))
     o_f, d_f, alive, _, term_color, term_af, term_acc, fold = carry
 
     # Depth-cap resolution (renderer/mod.rs:164-206 at depth == max_depth):

@@ -508,8 +508,10 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         acc_len=zero,
         A=(zero + 1.0, zero + 1.0, zero + 1.0),
         B=(zero + INF, zero + INF, zero + INF),
-        dead=(zero > 1.0, zero > 1.0, zero > 1.0),
-        outer=zero > 1.0,
+        # masks carried as f32 0/1: vector i1 while-carries hit an
+        # unsupported i8->i1 truncation in Mosaic
+        dead=(zero, zero, zero),
+        outer=zero,
         acc=(zero, zero, zero),
         segments=jnp.float32(0.0),
     )
@@ -570,7 +572,7 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
                                        seed)
             phase_n = _unit_vector_sample(pr1, pr2)
             normal = _where(is_med, phase_n, normal)
-            front = jnp.where(is_med, False, front)
+            front = front & ~is_med
 
         # scatter (integrator.scatter, one-for-one)
         if has_blend:
@@ -657,7 +659,9 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         term_acc = jnp.where(emit_t, total_len, 0.0)
 
         # fold_resolve
-        A, B, dead, outer = st["A"], st["B"], st["dead"], st["outer"]
+        A, B = st["A"], st["B"]
+        dead = tuple(m > 0.5 for m in st["dead"])
+        outer = st["outer"] > 0.5
         L = []
         for ch in range(3):
             dead_t = dead[ch] | (_isnan(term_color[ch]) & outer)
@@ -680,8 +684,8 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
             a_new = jnp.where(scat, A[ch] * a_ch, A[ch])
             newA.append(jnp.where(terminal, 1.0, a_new))
             newB.append(jnp.where(terminal, INF, b_ch))
-            newdead.append(jnp.where(terminal, False, d_ch))
-        new_outer = jnp.where(terminal, False, outer | pdf_lvl)
+            newdead.append(jnp.where(terminal | ~d_ch, 0.0, 1.0))
+        new_outer = jnp.where(terminal | ~(outer | pdf_lvl), 0.0, 1.0)
 
         # regenerate / advance
         new_sample = jnp.where(terminal, sample + 1, sample)
@@ -704,7 +708,11 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
     out_r[...] = state["acc"][0]
     out_g[...] = state["acc"][1]
     out_b[...] = state["acc"][2]
-    seg_ref[0] = state["segments"]
+    # per-tile segment count at [0,0] of a VMEM block (SMEM outputs do not
+    # tile on Mosaic); the host sums the whole plane
+    first = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0) == 0) \
+        & (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1) == 0)
+    seg_ref[...] = jnp.where(first, state["segments"], 0.0)
 
 
 # --- host wrapper -----------------------------------------------------------
@@ -808,7 +816,8 @@ def render_batch_megakernel(cs, sample_start, n_samples, seed, *, width,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    seg_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    seg_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     kern = functools.partial(
         _render_kernel,
@@ -827,7 +836,8 @@ def render_batch_megakernel(cs, sample_start, n_samples, seed, *, width,
                                         jnp.float32),
                    jax.ShapeDtypeStruct((n_tiles * _ROWS, _LANES),
                                         jnp.float32),
-                   jax.ShapeDtypeStruct((n_tiles,), jnp.float32)),
+                   jax.ShapeDtypeStruct((n_tiles * _ROWS, _LANES),
+                                        jnp.float32)),
         interpret=interpret,
     )(scal, cam_row, sph, pln, mats, texs, lights, *med_tabs, *extra)
 

@@ -56,6 +56,26 @@ def test_tile_and_sample_axes():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_batch_sharded_workqueue_equal():
+    """The work-queue wavefront sharded over tiles (render_batch_sharded)
+    equals the full-image work-queue render: same estimator, same RNG
+    streams, different pixel partitions."""
+    from solstrale_tpu.parallel import render_batch_sharded
+
+    cs = _compiled()
+    kw = dict(width=40, height=16, max_depth=8)
+    full, segs_full = integrator.trace_queued(
+        cs, None, jnp.int32(1), 2, jnp.int32(1), **kw)
+    full_img = full.reshape(16, 40, 3)[::-1]
+
+    mesh = make_mesh(n_tile=4, n_sample=2)
+    cs_r = replicate_scene(cs, mesh)
+    sharded, segs = render_batch_sharded(cs_r, 1, 2, 1, mesh, **kw)
+    np.testing.assert_allclose(np.asarray(full_img), np.asarray(sharded),
+                               rtol=1e-5, atol=1e-5)
+    assert float(segs) == float(segs_full)
+
+
 def test_sharded_train_step():
     cs = _compiled(w=16, h=8)
     mesh = make_mesh(n_tile=4, n_sample=2)
