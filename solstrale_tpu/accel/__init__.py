@@ -51,22 +51,27 @@ class KernelBvh:
     """Packet-traversal layout consumed by ops/pallas_bvh.py (planar prims
     only — spheres are brute-forced by the caller).
 
-    Layout is dictated by Mosaic's scalar-load rule (dynamic sublane index,
-    STATIC lane index) and VMEM's (8, 128) tiling:
-    - ``rows`` (n_leaves, 128) f32: one leaf per row = KLEAF(=8) prims x 16
-      fields, so a leaf slot reads at [leaf, si*16 + f] with si/f static.
-      Zero lane padding.
-    - ``nodes`` (n_nodes_padded, 8) f32 [minx miny minz maxx maxy maxz 0 0]:
-      read at [node, f] with f static. The 8->128 lane pad costs 16x memory
-      (33 MB at 262k prims) but keeps node fetches single scalar loads.
-    ``has_spheres`` is static so sphere-free scenes skip the sphere kernel
-    entirely."""
+    Two-level layout, VMEM-bounded at any scene size (ops/pallas_bvh.py
+    module docstring has the full picture):
+    - ``top_nodes`` (n_top_padded, 8) f32 [minx miny minz maxx maxy maxz
+      0 0] — the first 2*n_troots-1 nodes of the complete tree, capped at
+      2^TOP_LEVELS-1 so the VMEM cost (16x lane pad, dictated by Mosaic's
+      dynamic-sublane/static-lane scalar-load rule) never exceeds ~4 MB.
+    - ``rows`` (n_leaves, 128) f32 in HBM: one leaf per row = KLEAF(=8)
+      prims x 16 fields, read at [leaf, si*16 + f] with si/f static after
+      the kernel DMAs a *treelet* of ``tr`` consecutive rows into VMEM.
+    ``n_troots`` = n_leaves / tr treelet roots form the top tree's leaf
+    level. ``has_spheres`` is static so sphere-free scenes skip the sphere
+    kernel entirely."""
 
     KLEAF = 8
 
-    def __init__(self, nodes, rows, n_leaves, leaf_size, has_spheres):
-        self.nodes = nodes
+    def __init__(self, top_nodes, rows, n_troots, tr, n_leaves, leaf_size,
+                 has_spheres):
+        self.top_nodes = top_nodes
         self.rows = rows
+        self.n_troots = int(n_troots)
+        self.tr = int(tr)
         self.n_leaves = int(n_leaves)
         self.leaf_size = int(leaf_size)
         self.has_spheres = bool(has_spheres)
@@ -74,8 +79,8 @@ class KernelBvh:
 
 jax.tree_util.register_pytree_node(
     KernelBvh,
-    lambda o: ((o.nodes, o.rows),
-               (o.n_leaves, o.leaf_size, o.has_spheres)),
+    lambda o: ((o.top_nodes, o.rows),
+               (o.n_troots, o.tr, o.n_leaves, o.leaf_size, o.has_spheres)),
     lambda aux, c: KernelBvh(c[0], c[1], *aux))
 
 
@@ -282,15 +287,24 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
         node_min[base:base + lvl_min.shape[0]] = lvl_min
         node_max[base:base + lvl_max.shape[0]] = lvl_max
 
-    n_nodes_p = (n_nodes + 7) // 8 * 8
-    nodes = np.zeros((n_nodes_p, 8), np.float32)
+    # two-level split: treelets of tr consecutive leaf rows; the top tree
+    # over the n_troots treelet roots is the VMEM-resident part, capped at
+    # 2^TOP_LEVELS-1 nodes (~4 MB after the 16x lane pad)
+    from ..ops.pallas_bvh import TOP_LEVELS
+
+    tr = max(1, n_leaves // (1 << (TOP_LEVELS - 1)))
+    n_troots = n_leaves // tr
+    n_top = 2 * n_troots - 1
+    n_top_p = (n_top + 7) // 8 * 8
+    top = np.zeros((n_top_p, 8), np.float32)
     # empty boxes (all-padding leaves) keep +inf/-inf -> slab test misses
-    nodes[:n_nodes, 0:3] = node_min
-    nodes[:n_nodes, 3:6] = node_max
+    top[:n_top, 0:3] = node_min[:n_top]
+    top[:n_top, 3:6] = node_max[:n_top]
     has_spheres = bool(np.asarray(s.sph_valid).any())
     assert leaf_size * 16 == 128, "one leaf per 128-lane row"
-    return KernelBvh(nodes=nodes,
+    return KernelBvh(top_nodes=top,
                      rows=rows.reshape(n_leaves, 128),
+                     n_troots=n_troots, tr=tr,
                      n_leaves=n_leaves, leaf_size=leaf_size,
                      has_spheres=has_spheres)
 

@@ -86,6 +86,9 @@ def train_step_sharded(cs: CompiledScene, target, mesh, *, width, height,
         [tgt, jnp.zeros((n_padded - n_pix, 3), tgt.dtype)], axis=0)
     sample_offsets = jnp.arange(mesh.shape["sample"], dtype=jnp.int32)
 
+    # NOTE: the shard_map MUST run under jit — the remat'd bounce scan in
+    # integrator.trace is a closed_call that eager shard_map cannot evaluate.
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("tile"), P("tile"), P("tile"), P("sample")),
              out_specs=(P(), P()))

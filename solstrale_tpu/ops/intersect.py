@@ -14,8 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..geo import ALMOST_ZERO, INF, RAY_T_MIN, cross, dot, unit
-from ..scene.compile import (KIND_MEDIUM, KIND_QUAD, KIND_SPHERE,
-                             KIND_TRIANGLE, Lights, Solids)
+from ..scene.compile import (KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE,
+                             Lights, Solids)
 
 # primitive-chunk size for the (R, P) sweep; bounds peak memory at
 # R * CHUNK intermediates.
@@ -228,7 +228,10 @@ def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
     (262k prims) the one-hot form would be ~1 TFLOP per bounce."""
     r = idx.shape[0]
     if n_rows > ONEHOT_MAX_ROWS:
-        return table[jnp.clip(idx, 0, n_rows - 1)].astype(jnp.float32)
+        row = table[jnp.clip(idx, 0, n_rows - 1)].astype(jnp.float32)
+        # match one-hot semantics exactly: out-of-range idx yields a zero row
+        in_range = (idx >= 0) & (idx < n_rows)
+        return jnp.where(in_range[:, None], row, 0.0)
     out = jnp.zeros((r, table.shape[1]), jnp.float32)
     for a in range(0, n_rows, chunk):
         size = min(chunk, n_rows - a)

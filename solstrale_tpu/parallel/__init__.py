@@ -62,6 +62,9 @@ def render_sample_sharded(cs, sample, seed, mesh, *, width, height, max_depth,
     pix = jnp.minimum(pix, n_pix - 1)
     sample_offsets = jnp.arange(n_sample, dtype=jnp.int32)
 
+    # jit so the shard_map (and any remat closed_call inside) compiles as one
+    # program instead of eager per-device dispatch
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("tile"), P("sample"), P(), P()),
              out_specs=(P("tile"), P("tile"), P("tile")))
@@ -106,25 +109,32 @@ def render_batch_sharded(cs, sample_start, n_samples, seed, mesh, *, width,
     n_pix = width * height
     n_padded = _pad_to(n_pix, n_tile)
 
-    # pad with repeats of pixel 0; padding contributions are dropped below
-    pix = jnp.arange(n_padded, dtype=jnp.int32)
-    pix = jnp.where(pix < n_pix, pix, 0)
+    # pad with repeats of pixel 0; padded positions are excluded from each
+    # shard's queue via n_valid (only the LAST tile shard holds padding), so
+    # segment counts stay exact for non-divisible image sizes
+    ids = jnp.arange(n_padded, dtype=jnp.int32)
+    pix = jnp.where(ids < n_pix, ids, 0)
+    per_tile = n_padded // n_tile
+    valid_counts = jnp.sum((ids < n_pix).reshape(n_tile, per_tile),
+                           axis=1).astype(jnp.int32)
     sample_offsets = jnp.arange(n_sample, dtype=jnp.int32) * per_shard
 
     # check_vma=False: trace_queued's zero-initialized while_loop carries
     # are unvarying; the collective-safety check would demand pvary noise
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("tile"), P("sample"), P(), P()),
+             in_specs=(P(), P("tile"), P("tile"), P("sample"), P(), P()),
              out_specs=(P("tile"), P()), check_vma=False)
-    def shard_fn(cs_rep, pix_shard, sample_off, sample_base, seed_):
+    def shard_fn(cs_rep, pix_shard, n_valid, sample_off, sample_base, seed_):
         accum, segs = integrator.trace_queued(
             cs_rep, pix_shard, sample_base + sample_off[0], per_shard,
-            seed_, width=width, height=height, max_depth=max_depth)
+            seed_, width=width, height=height, max_depth=max_depth,
+            n_valid=n_valid[0])
         accum = jax.lax.psum(accum, "sample")
         segs = jax.lax.psum(segs, ("tile", "sample"))
         return accum, segs
 
-    accum, segs = shard_fn(cs, pix, sample_offsets,
+    accum, segs = shard_fn(cs, pix, valid_counts, sample_offsets,
                            jnp.asarray(sample_start, jnp.int32),
                            jnp.asarray(seed, jnp.int32))
     color = accum[:n_pix].reshape(height, width, 3)[::-1]

@@ -48,7 +48,6 @@ def render_distributed(scene, n_sample_axis=1, abort=None):
     import jax
     import jax.numpy as jnp
 
-    from ..renderer import integrator
     from ..scene.compile import compile_scene
     from ..utils import to_rgb_u8
     from . import render_sample_sharded, replicate_scene

@@ -37,7 +37,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geo import (INF, RAY_T_MIN, cross, dot, onb_from_w, onb_local,
+from ..geo import (INF, RAY_T_MIN, dot, onb_from_w, onb_local,
                    reflect, refract, unit)
 from ..ops import rng
 from ..ops.intersect import (closest_solid_hit, hit_attributes,
@@ -572,7 +572,7 @@ def render_sample(cs: CompiledScene, sample, seed, *, width, height,
 
 
 def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
-                 *, width, height, max_depth, lanes=None):
+                 *, width, height, max_depth, lanes=None, n_valid=None):
     """Work-queue wavefront: a fixed pool of lanes drains the global
     (pixel, sample) queue. When paths terminate, the terminating lanes claim
     the next assignments in pixel-major order (rank via cumsum); terminated
@@ -582,7 +582,10 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
     pix_ids: (Np,) pixel ids this call owns (a shard or the full image), or
     None for the full image (pixel id == queue slot — skips a 32k-wide
-    gather per iteration).
+    gather per iteration). n_valid (optional, may be traced): only the
+    first n_valid entries of pix_ids are real work — sharded callers pad
+    their last shard with duplicate ids and exclude them here so segment
+    counts (and Mrays/s derived from them) stay exact.
     Returns (accum (Np, 3) summed over n_samples, segments traced).
 
     Lane count and loop unrolling amortize the backend's fixed
@@ -593,10 +596,11 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
     import os
 
     n_pix = width * height if pix_ids is None else pix_ids.shape[0]
-    total_q = n_pix * n_samples  # python int (queue length)
+    nv = n_pix if n_valid is None else n_valid
+    total_q = nv * n_samples  # queue length (python int or traced scalar)
     if lanes is None:
         lanes = int(os.environ.get("SOLSTRALE_LANES", "131072"))
-        lanes = min(lanes, total_q)
+        lanes = min(lanes, n_pix * n_samples)
     unroll = int(os.environ.get("SOLSTRALE_UNROLL", "1"))
 
     zero_l = jnp.zeros((lanes,), jnp.float32)
@@ -604,8 +608,8 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
     def assignment(qpos):
         """queue position → (pixel id, sample id); inactive beyond queue."""
-        pslot = qpos % n_pix
-        samp = sample_start + qpos // n_pix
+        pslot = qpos % nv
+        samp = sample_start + qpos // nv
         pixel = pslot if pix_ids is None else pix_ids[pslot]
         return pixel, pslot, samp
 

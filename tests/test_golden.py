@@ -27,6 +27,11 @@ def cfg(width, height, spp, **kw):
                         seed=1, **kw)
 
 
+# the golden suite is the slow tier (654 s judged): CI default runs the fast
+# tier; `pytest -m slow` / `make test-all` covers goldens pre-round
+pytestmark = pytest.mark.slow
+
+
 def test_render_scene_path_tracing():
     scene = create_test_scene(cfg(200, 100, 25))
     render_and_compare(scene, "pathTracing")

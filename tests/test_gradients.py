@@ -2,6 +2,8 @@
 agree with finite differences under matched RNG counters for parameters that
 do not alter sampling decisions (albedo, emission) — the BASELINE.json
 pixel-gradient allclose requirement."""
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +64,7 @@ def test_grad_nonzero_and_finite():
     assert (np.abs(g) > 0).any()
 
 
+@pytest.mark.slow
 def test_grad_at_depth50_memory_bounded():
     """The checkpointed (path-replay) backward holds only chunk-boundary
     carries, so a full-size 300x200 @ depth-50 gradient runs without

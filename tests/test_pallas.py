@@ -1,5 +1,7 @@
 """Pallas kernel tests (interpreter mode on CPU): the fused sweep must agree
 with the XLA reference sweep."""
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,8 +39,6 @@ def test_pallas_sweep_matches_xla():
 
 
 def test_pallas_medium_matches_xla():
-    import jax
-
     from solstrale_tpu.ops.intersect import medium_hit
     from solstrale_tpu.ops.pallas_sweep import medium_hit_pallas
 
@@ -128,6 +128,7 @@ def test_pallas_bvh_matches_brute_force_kitchen_sink():
     assert same[hit_ref].mean() > 0.995
 
 
+@pytest.mark.slow
 def test_pallas_bvh_matches_brute_force_large_mesh():
     """Packet BVH kernel == brute-force sweep on a >100k-triangle mesh
     (sponza-class fixture, camera-like coherent rays + random rays)."""

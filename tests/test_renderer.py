@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from scenes import create_simple_test_scene
-from solstrale_tpu import (EverySample, Interval, OnlyFinal, RenderConfig,
+from solstrale_tpu import (EverySample, Interval, RenderConfig,
                            Renderer, ray_trace)
 
 

@@ -12,7 +12,6 @@ sys.path.insert(0, "tests")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
