@@ -603,15 +603,38 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         lanes = min(lanes, n_pix * n_samples)
     unroll = int(os.environ.get("SOLSTRALE_UNROLL", "1"))
 
+    # Tile-swizzled full-image order: consecutive queue slots cover a
+    # (tile_w x tile_h) screen tile instead of a scanline, so the 1024-lane
+    # packets the BVH kernel traverses are spatially compact (a 128x8 strip,
+    # not a 1024x1 line) — fewer treelets per packet. Pure arithmetic
+    # bijection; per-pixel RNG keys off the pixel id, so the image is
+    # bit-identical to scanline order.
+    swz = None
+    if pix_ids is None:
+        for tw, th in ((32, 32), (32, 16), (32, 8), (32, 4), (64, 2)):
+            if width % tw == 0 and height % th == 0:
+                swz = (tw, th)
+                break
+
+    def swizzle(pslot):
+        if swz is None:
+            return pslot
+        tw, th = swz
+        tile, within = pslot // (tw * th), pslot % (tw * th)
+        tx, ty = tile % (width // tw), tile // (width // tw)
+        return (ty * th + within // tw) * width + tx * tw + within % tw
+
     zero_l = jnp.zeros((lanes,), jnp.float32)
     zero3_l = jnp.zeros((lanes, 3), jnp.float32)
 
     def assignment(qpos):
-        """queue position → (pixel id, sample id); inactive beyond queue."""
+        """queue position → (pixel id, accum slot, sample id)."""
         pslot = qpos % nv
         samp = sample_start + qpos // nv
-        pixel = pslot if pix_ids is None else pix_ids[pslot]
-        return pixel, pslot, samp
+        if pix_ids is None:
+            pixel = swizzle(pslot)
+            return pixel, pixel, samp
+        return pix_ids[pslot], pslot, samp
 
     def cam_rays(pixel, sample_arr):
         x = (pixel % width).astype(jnp.float32)
