@@ -322,7 +322,7 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
 
     # two-level split: treelets of tr consecutive leaf rows; the top tree
     # over the n_troots treelet roots is the VMEM-resident part, capped at
-    # 2^TOP_LEVELS-1 nodes (~4 MB after the 16x lane pad)
+    # 2^TOP_LEVELS-1 nodes (~2 MB after the 16x lane pad)
     from ..ops.pallas_bvh import TOP_LEVELS
 
     tr = max(1, n_leaves // (1 << (TOP_LEVELS - 1)))
@@ -334,9 +334,18 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
     top[:n_top, 0:3] = node_min[:n_top]
     top[:n_top, 3:6] = node_max[:n_top]
     has_spheres = bool(np.asarray(s.sph_valid).any())
-    assert leaf_size * 16 == 128, "one leaf per 128-lane row"
+
+    # column-block leaf layout for the kernel's (1024 rays, 128 prims)
+    # drain domain: one treelet = tr*leaf_size prims = nbt (16, 128) blocks
+    # with fields along rows and prims along lanes (zero lanes -> valid=0)
+    p_t = tr * leaf_size
+    nbt = max(1, (p_t + 127) // 128)
+    blk = np.zeros((n_troots, nbt * 128, 16), np.float32)
+    blk[:, :p_t, :] = rows.reshape(n_troots, p_t, 16)
+    blk = blk.reshape(n_troots, nbt, 128, 16).transpose(0, 1, 3, 2)
     return KernelBvh(top_nodes=top,
-                     rows=rows.reshape(n_leaves, 128),
+                     rows=np.ascontiguousarray(
+                         blk.reshape(n_troots * nbt * 16, 128)),
                      n_troots=n_troots, tr=tr,
                      n_leaves=n_leaves, leaf_size=leaf_size,
                      has_spheres=has_spheres)

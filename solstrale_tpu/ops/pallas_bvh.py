@@ -3,38 +3,44 @@
 The reference walks a pointer-based binary BVH per ray with recursion
 (``bvh.rs:165-180``) — pointer chasing and per-ray divergence, both hostile
 to a vector machine. The TPU-native inversion is *packet* traversal: a block
-of 1024 rays ((8, 128) VPU lanes) shares ONE traversal stack, held in SMEM
-and driven by the scalar core, while the AABB slab test and the leaf
-primitive intersections run on all 1024 lanes at once. A node is descended
-when ANY ray in the packet hits its box (one vector→scalar reduction per
-step), so the packet does the union of its rays' traversals — cheap while
-rays are coherent (camera rays, queue-ordered bounce rays) and never worse
-than a brute-force sweep of the leaves it cannot prune.
+of 1024 rays shares ONE traversal over the tree, driven by the scalar core,
+while all per-primitive work runs data-parallel on the VPU. The kernel was
+shaped by on-chip microbenchmarks (see PERF.md):
 
-Memory layout — two-level, VMEM-bounded at ANY scene size:
+- **Branchless batched walk.** Scalar-side branches (``lax.cond`` /
+  ``pl.when``) around vector state cost hundreds of cycles each, and a
+  ``lax.cond`` around a DMA wait deadlocks outright (measured). The walk
+  therefore tests FB=8 frontier nodes per while-iteration (their
+  vector→scalar ``any_hit`` reductions overlap: 42 vs 178 cycles/node
+  measured) and uses NO conditionals at all: child/treelet appends are
+  unconditional SMEM stores whose queue pointers advance by a predicated
+  amount — garbage beyond the final pointers is simply never read.
+- **Column-layout treelet drains.** Hit treelets (128 consecutive leaf
+  prims) are collected into a list; rounds of up to DB=8 treelets are
+  DMA'd from HBM (8 KB blocks, pipelined) and intersected in a
+  (1024 rays, 128 prims) column domain: ray components enter as
+  (1024, 1) columns, primitive fields as (1, 128) rows from the block, and
+  every op is a full (1024, 128) broadcast — two orders of magnitude more
+  data-parallelism per instruction than the per-prim scalar-load form this
+  replaced (measured ~78 → ~19 cycles/prim). All math is f32 on the VPU;
+  the MXU bf16 path corrupts world-space plane functionals and its 6-pass
+  f32 emulation costs more than the broadcasts.
+- **On-chip memory bounded at any scene size.** The top TOP_LEVELS levels
+  of the complete tree are DMA'd HBM→SMEM once per launch (flat f32 array,
+  ~100 KB — SMEM scalar loads measured ~5x faster than VMEM ones for the
+  walk); everything below streams from HBM per treelet. This replaced the
+  round-2 design that held the whole tree + leaf table in VMEM and
+  compile-OOM'd at 262k prims.
 
-- **Top tree in VMEM**: the first ``TOP_LEVELS`` levels of the complete
-  binary tree, ``(n_top, 8)`` f32 ``[minx miny minz maxx maxy maxz 0 0]``.
-  Children of i are 2i+1 / 2i+2, no pointers; fetched with dynamic *scalar*
-  loads (dynamic sublane, static lane — the Mosaic rule). The 8→128 lane
-  pad costs 16x but the array is capped at 2^TOP_LEVELS-1 nodes (≤4 MB),
-  independent of primitive count.
-- **Leaf rows streamed from HBM**: the full leaf table lives in
-  ``pltpu.ANY`` (HBM) as ``(n_leaves, 128)`` f32 — one leaf per row =
-  8 prims x 16 fields ``[n(3) d g1(3) g1o g2(3) g2o is_tri valid slot pad]``
-  (the unified quad/triangle functional form of ops/pallas_sweep.py). The
-  bottom of the tree is cut into *treelets* of ``2^S`` consecutive leaf
-  rows; when the packet's traversal reaches a treelet root it enqueues the
-  treelet in an SMEM ring and starts an async DMA of its rows into one of
-  ``NBUF`` VMEM slots. Treelets drain oldest-first while younger DMAs are
-  still in flight — an NBUF-deep prefetch pipeline that hides HBM latency
-  behind the slab tests of the ongoing top-tree walk. Inside a hit treelet
-  the rays brute-force all 2^S rows (packet pruning below a hit box is
-  weak, and skipping the subtree walk removes its nodes from the stream
-  entirely).
+The best (t, slot) is carried per *lane* in (1024, 128) scratch and reduced
+over lanes once at the end (ties resolve to the smallest slot, matching the
+XLA argmin sweep). Outputs are (R, 1) columns.
 
-This replaces the round-2 design that held nodes AND the whole leaf table
-in VMEM and compile-OOM'd at 262k prims (48 MB scoped vs the 16 MB limit).
+Leaf data layout (built by ``accel.build_kernel_bvh``): one treelet =
+tr(=16) leaf rows = 128 prims = one (16, 128) f32 block, prims along lanes:
+rows 0-2 n.xyz | 3 d | 4-6 g1.xyz | 7 g1o | 8-10 g2.xyz | 11 g2o |
+12 is_tri | 13 valid | 14 slot | 15 pad — the same unified quad/triangle
+functional form as ops/pallas_sweep.py (u = o·g1 + t·(d·g1) + g1o).
 
 Spheres are not in the tree: every fixture/production scene has at most a
 handful, and the brute sphere sweep is a single fused kernel already —
@@ -52,25 +58,32 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geo import ALMOST_ZERO, INF
 
 BLOCK = 1024
-_ROWS = 8
 _LANES = 128
 
-# top-tree levels kept in VMEM: 2^TOP_LEVELS - 1 nodes x 512 B = 4 MB max
-# (sponza @ 262k prims: 32768 leaf rows -> tr=8 rows (64 prims, 4 KB) per
-# treelet, 4096 treelet roots, 8191 top nodes)
-TOP_LEVELS = 13
-# in-flight treelet DMA slots (prefetch pipeline depth)
-NBUF = 8
+# top-tree levels kept in VMEM: treelet roots are the level-(TOP_LEVELS-1)
+# nodes, so a treelet = n_leaves/2^(TOP_LEVELS-1) leaf rows (16 at sponza's
+# 262k prims = 128 prims = one column block)
+TOP_LEVELS = 12
+# frontier nodes slab-tested per while-iteration (their reduces overlap)
+FB = 8
+# treelet DMA pipeline depth / drain round size
+DB = 8
+# frontier queue capacity: bounded by the top tree's total node count
+FQ = 2 * (1 << TOP_LEVELS) + 2 * FB + 8
+TL_CAP = (1 << (TOP_LEVELS - 1)) + FB + 8
 
 
-def _bvh_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, nodes_ref, rows_hbm,
-                out_t, out_slot, stack_ref, ring_ref, slot_ref, tile_ref,
-                sems, *, n_troots, tr, leaf_size):
-    """Packet traversal. n_troots = number of treelet roots (top-tree
-    leaves); tr = leaf rows per treelet; leaf_size = prims per row."""
+def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
+                nodes_ref, rows_hbm, out_t_ref, out_s_ref,
+                fq_ref, tl_ref, bt_ref, bs_ref, tile_ref, sems,
+                smem_nodes, nsem,
+                *, n_troots, tr, leaf_size):
+    # a treelet = tr leaf rows = tr*leaf_size prims, stored as nbt
+    # (16, 128) field-row blocks (prims along lanes, zero-padded)
+    nbt = max(1, (tr * leaf_size + _LANES - 1) // _LANES)
+    brows = nbt * 16
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
-    tmin = tmin_ref[...]
 
     # slab-test reciprocals (geo/mod.rs:159-188 precomputes 1/dir once);
     # padding rays have d = 0 -> inv = inf -> NaN/false comparisons -> miss
@@ -78,127 +91,156 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, nodes_ref, rows_hbm,
     invy = 1.0 / d[1]
     invz = 1.0 / d[2]
 
-    out_t[...] = jnp.full(tmin.shape, INF, jnp.float32)
-    slot_ref[...] = jnp.full(tmin.shape, -1.0, jnp.float32)
-    stack_ref[0] = jnp.int32(0)
+    bt_ref[...] = jnp.full((BLOCK, _LANES), INF, jnp.float32)
+    bs_ref[...] = jnp.full((BLOCK, _LANES), -1.0, jnp.float32)
+    fq_ref[0] = jnp.int32(0)
+
+    # The top-tree node table lives in SMEM — the scalar core's native
+    # memory — DMA'd from HBM once on the first grid step (scratch persists
+    # across grid steps). VMEM scalar loads measured ~5x slower here, and an
+    # SMEM *input* window would lane-pad 16x past the 1 MB SMEM budget.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pltpu.make_async_copy(nodes_ref, smem_nodes, nsem).start()
+        pltpu.make_async_copy(nodes_ref, smem_nodes, nsem).wait()
 
     def node_f(n, f):
-        # (n_top, 8): dynamic sublane, static lane (Mosaic scalar-load rule)
-        return nodes_ref[n, f]
+        return smem_nodes[n * 8 + f]
 
-    def start_fetch(t, qt):
-        """DMA treelet t's leaf rows into ring slot qt % NBUF."""
-        slot = jax.lax.rem(qt, jnp.int32(NBUF))
-        ring_ref[slot] = t
-        pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(t * tr, tr), :],
-            tile_ref.at[pl.ds(slot * tr, tr), :],
-            sems.at[slot],
-        ).start()
+    # column-layout ray components, (1024, 1) lane slices of the packed
+    # (1024, 8) [o | d | tmin | pad] input
+    cols = cols_ref[...]
+    om = (cols[:, 0:1], cols[:, 1:2], cols[:, 2:3])
+    dm = (cols[:, 3:4], cols[:, 4:5], cols[:, 5:6])
+    tmin = cols[:, 6:7]
 
-    def drain_oldest(qh):
-        """Wait for the oldest in-flight treelet and intersect its rows."""
-        slot = jax.lax.rem(qh, jnp.int32(NBUF))
-        t = ring_ref[slot]
-        pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(t * tr, tr), :],
-            tile_ref.at[pl.ds(slot * tr, tr), :],
-            sems.at[slot],
-        ).wait()
+    def _intersect_block(base):
+        """Intersect all 128 prims of the (16, 128) field block at tile row
+        ``base`` against the whole packet in one (1024, 128) column domain:
+        ray components are (1024, 1), prim fields (1, 128), every op a full
+        broadcast. Updates the per-lane best (t, slot)."""
+        # field rows follow the unified planar-table column order:
+        # 0-2 n | 3 d | 4-6 g1 | 7 g1o | 8-10 g2 | 11 g2o | 12 is_tri |
+        # 13 valid | 14 slot
+        n0 = tile_ref[pl.ds(base + 0, 1), :]
+        n1 = tile_ref[pl.ds(base + 1, 1), :]
+        n2 = tile_ref[pl.ds(base + 2, 1), :]
+        dpl = tile_ref[pl.ds(base + 3, 1), :]
+        g10 = tile_ref[pl.ds(base + 4, 1), :]
+        g11 = tile_ref[pl.ds(base + 5, 1), :]
+        g12 = tile_ref[pl.ds(base + 6, 1), :]
+        g1o = tile_ref[pl.ds(base + 7, 1), :]
+        g20 = tile_ref[pl.ds(base + 8, 1), :]
+        g21 = tile_ref[pl.ds(base + 9, 1), :]
+        g22 = tile_ref[pl.ds(base + 10, 1), :]
+        g2o = tile_ref[pl.ds(base + 11, 1), :]
+        istri = tile_ref[pl.ds(base + 12, 1), :]
+        valid = tile_ref[pl.ds(base + 13, 1), :]
+        slotv = tile_ref[pl.ds(base + 14, 1), :]
+        # (1024,1) x (1,128) broadcasts: full-f32 dot products
+        on = om[0] * n0 + om[1] * n1 + om[2] * n2
+        dn = dm[0] * n0 + dm[1] * n1 + dm[2] * n2
+        og1 = om[0] * g10 + om[1] * g11 + om[2] * g12
+        dg1 = dm[0] * g10 + dm[1] * g11 + dm[2] * g12
+        og2 = om[0] * g20 + om[1] * g21 + om[2] * g22
+        dg2 = dm[0] * g20 + dm[1] * g21 + dm[2] * g22
+        t_ = (dpl - on) / dn
+        u = og1 + t_ * dg1 + g1o
+        v = og2 + t_ * dg2 + g2o
+        tri = istri > 0.5
+        base_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+        contain = base_ok & ((tri & (u + v <= 1.0)) | (~tri & (v <= 1.0)))
+        bt = bt_ref[...]
+        ok = ((jnp.abs(dn) >= ALMOST_ZERO) & (valid > 0.5) & contain
+              & (t_ >= tmin) & (t_ < bt))
+        bt_ref[...] = jnp.where(ok, t_, bt)
+        bs_ref[...] = jnp.where(
+            ok, slotv + jnp.zeros((BLOCK, _LANES), jnp.float32), bs_ref[...])
 
-        bt2 = out_t[...]
-        bs2 = slot_ref[...]
-        for m in range(tr):
-            for si in range(leaf_size):
-                def row_f(f, _m=m, _s=si):
-                    # leaf-per-row layout: static lane index si*16+f
-                    return tile_ref[slot * tr + _m, _s * 16 + f]
-
-                nx = row_f(0)
-                ny = row_f(1)
-                nz = row_f(2)
-                dpl = row_f(3)
-                denom = nx * d[0] + ny * d[1] + nz * d[2]
-                tt = (dpl - (nx * o[0] + ny * o[1] + nz * o[2])) / denom
-                hx = o[0] + tt * d[0]
-                hy = o[1] + tt * d[1]
-                hz = o[2] + tt * d[2]
-                u = (hx * row_f(4) + hy * row_f(5)
-                     + hz * row_f(6) + row_f(7))
-                v = (hx * row_f(8) + hy * row_f(9)
-                     + hz * row_f(10) + row_f(11))
-                is_tri = row_f(12) > 0.5
-                valid = row_f(13) > 0.5
-                base_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                contain = base_ok & ((is_tri & (u + v <= 1.0))
-                                     | (~is_tri & (v <= 1.0)))
-                ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid & contain
-                      & (tt >= tmin) & (tt < bt2))
-                slot_val = jnp.full_like(bs2, row_f(14))
-                bt2 = jnp.where(ok, tt, bt2)
-                bs2 = jnp.where(ok, slot_val, bs2)
-        out_t[...] = bt2
-        slot_ref[...] = bs2
+    def drain_round(td, tt):
+        """Fetch + intersect up to DB pending treelets (entries td..tt-1).
+        Per-entry predication uses matched pl.when pairs around DMA start
+        and wait — identical conditions, so semaphores stay balanced."""
+        for k in range(DB):
+            @pl.when(td + k < tt)
+            def _(k=k):
+                t = tl_ref[td + k]
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(t * brows, brows), :],
+                    tile_ref.at[pl.ds(k * brows, brows), :],
+                    sems.at[k]).start()
+        for k in range(DB):
+            @pl.when(td + k < tt)
+            def _(k=k):
+                t = tl_ref[td + k]
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(t * brows, brows), :],
+                    tile_ref.at[pl.ds(k * brows, brows), :],
+                    sems.at[k]).wait()
+                for b in range(nbt):
+                    _intersect_block(k * brows + b * 16)
 
     def body(carry):
-        # NOTE: pl.when only — wrapping the DMA wait in a jax.lax.cond
-        # branch DEADLOCKS on real hardware (verified on-chip; the pl.when
-        # form runs correctly).
-        sp, qh, qt = carry
-        walking = sp > 0
-        sp1 = jnp.maximum(sp - 1, 0)
-        node = stack_ref[sp1]
-        bt = out_t[...]
-
-        t0 = (node_f(node, 0) - o[0]) * invx
-        t1 = (node_f(node, 3) - o[0]) * invx
-        near = jnp.minimum(t0, t1)
-        far = jnp.maximum(t0, t1)
-        t0 = (node_f(node, 1) - o[1]) * invy
-        t1 = (node_f(node, 4) - o[1]) * invy
-        near = jnp.maximum(near, jnp.minimum(t0, t1))
-        far = jnp.minimum(far, jnp.maximum(t0, t1))
-        t0 = (node_f(node, 2) - o[2]) * invz
-        t1 = (node_f(node, 5) - o[2]) * invz
-        near = jnp.maximum(near, jnp.minimum(t0, t1))
-        far = jnp.minimum(far, jnp.maximum(t0, t1))
-        near = jnp.maximum(near, 0.0)
-        # non-empty interval (strict, like Aabb::hit) + closest-hit prune
-        hit = (near < far) & (near <= bt)
-        any_hit = jnp.max(hit.astype(jnp.int32)) > 0
-
-        is_troot = node >= jnp.int32(n_troots - 1)
-        push = walking & any_hit & jnp.logical_not(is_troot)
-        enq = walking & any_hit & is_troot
-        # retire the oldest treelet when the DMA ring is full, or when the
-        # top-tree walk has finished and only the queue remains
-        do_drain = (enq & (qt - qh >= jnp.int32(NBUF))) \
-            | (jnp.logical_not(walking) & (qt > qh))
-
-        @pl.when(push)
-        def _():
-            # far child below near child so the near child pops first
-            stack_ref[sp1] = 2 * node + 2
-            stack_ref[sp1 + 1] = 2 * node + 1
+        fh, ft, td, tt = carry
+        B = jnp.clip(ft - fh, 0, FB)
+        # --- branchless walk step: FB clamped slab tests ---
+        nodes = []
+        anyh = []
+        for c in range(FB):
+            node = fq_ref[jnp.minimum(fh + c, ft - 1)]
+            nodes.append(node)
+            t0 = (node_f(node, 0) - o[0]) * invx
+            t1 = (node_f(node, 3) - o[0]) * invx
+            near = jnp.minimum(t0, t1)
+            far = jnp.maximum(t0, t1)
+            t0 = (node_f(node, 1) - o[1]) * invy
+            t1 = (node_f(node, 4) - o[1]) * invy
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+            t0 = (node_f(node, 2) - o[2]) * invz
+            t1 = (node_f(node, 5) - o[2]) * invz
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+            near = jnp.maximum(near, 0.0)
+            # non-empty interval, strict, like Aabb::hit
+            anyh.append(jnp.max(((near < far)).astype(jnp.int32)))
+        # --- unconditional appends; pointers advance only for real hits ---
+        ft2 = ft
+        tt2 = tt
+        for c in range(FB):
+            node = nodes[c]
+            hit_c = jnp.where(jnp.int32(c) < B, anyh[c], 0)
+            is_troot = (node >= jnp.int32(n_troots - 1)).astype(jnp.int32)
+            push = hit_c * (1 - is_troot)
+            enq = hit_c * is_troot
+            fq_ref[ft2] = 2 * node + 1
+            fq_ref[ft2 + 1] = 2 * node + 2
+            tl_ref[tt2] = node - jnp.int32(n_troots - 1)
+            ft2 = ft2 + 2 * push
+            tt2 = tt2 + enq
+        fh2 = fh + B
+        # --- drain round: full pipeline when >=DB pending, else the tail
+        # once the walk is done ---
+        pending = tt2 - td
+        do_drain = (pending >= DB) | ((fh2 >= ft2) & (pending > 0))
 
         @pl.when(do_drain)
         def _():
-            drain_oldest(qh)
+            drain_round(td, tt2)
 
-        qh2 = jnp.where(do_drain, qh + 1, qh)
-
-        @pl.when(enq)
-        def _():
-            start_fetch(node - jnp.int32(n_troots - 1), qt)
-
-        sp2 = jnp.where(walking, jnp.where(push, sp1 + 2, sp1), sp)
-        qt2 = jnp.where(enq, qt + 1, qt)
-        return sp2, qh2, qt2
+        td2 = jnp.where(do_drain, td + jnp.minimum(pending, jnp.int32(DB)),
+                        td)
+        return fh2, ft2, td2, tt2
 
     jax.lax.while_loop(
-        lambda c: (c[0] > 0) | (c[2] > c[1]), body,
-        (jnp.int32(1), jnp.int32(0), jnp.int32(0)))
-    out_slot[...] = slot_ref[...].astype(jnp.int32)
+        lambda c: (c[1] > c[0]) | (c[3] > c[2]), body,
+        (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(0)))
+
+    # emit the raw per-lane best planes; the caller's XLA epilogue does the
+    # lane reduction in standard row-major layout (an in-kernel (1024,1)
+    # column output forces relayouts in every downstream op)
+    out_t_ref[...] = bt_ref[...]
+    out_s_ref[...] = bs_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,50 +252,57 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
 
-    def prep(x):
+    def prep_row(x):
         x = jnp.pad(x, ((0, pad),))
         return x.reshape(n_pad // _LANES, _LANES)
 
-    ox, oy, oz = (prep(o[:, i]) for i in range(3))
-    dx, dy, dz = (prep(d[:, i]) for i in range(3))
-    tminb = prep(jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,)))
-
-    nodes = kbvh.top_nodes
-    rows = kbvh.rows
-    n_troots = kbvh.n_troots
-    tr = kbvh.tr
-    leaf_size = kbvh.leaf_size
+    ox, oy, oz = (prep_row(o[:, i]) for i in range(3))
+    dx, dy, dz = (prep_row(d[:, i]) for i in range(3))
+    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    cols = jnp.concatenate([o, d, tminb[:, None],
+                            jnp.zeros((r, 1), jnp.float32)], axis=1)
+    cols = jnp.pad(cols, ((0, pad), (0, 0)))
 
     grid = (n_pad // BLOCK,)
-    ray_spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+    row_spec = pl.BlockSpec((BLOCK // _LANES, _LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    top_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    cols_spec = pl.BlockSpec((BLOCK, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK, _LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec(memory_space=pl.ANY)
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    # stack depth: top-tree depth + slack (pop 1 push 2 => depth+1 max)
-    depth = max(1, n_troots.bit_length() + 2)
-
-    t, slot = pl.pallas_call(
-        functools.partial(_bvh_kernel, n_troots=n_troots, tr=tr,
-                          leaf_size=leaf_size),
+    out = pl.pallas_call(
+        functools.partial(_bvh_kernel, n_troots=kbvh.n_troots, tr=kbvh.tr,
+                          leaf_size=kbvh.leaf_size),
         grid=grid,
-        in_specs=[ray_spec] * 7 + [top_spec, hbm_spec],
-        out_specs=(ray_spec,
-                   pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((n_pad // _LANES, _LANES),
-                                        jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad // _LANES, _LANES),
-                                        jnp.int32)),
-        scratch_shapes=[pltpu.SMEM((depth + 8,), jnp.int32),   # stack
-                        pltpu.SMEM((NBUF,), jnp.int32),        # DMA ring
-                        pltpu.VMEM((_ROWS, _LANES), jnp.float32),  # best slot
-                        pltpu.VMEM((NBUF * tr, _LANES), jnp.float32),
-                        pltpu.SemaphoreType.DMA((NBUF,))],
+        in_specs=[row_spec] * 6 + [cols_spec, top_spec, hbm_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, _LANES), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, _LANES), jnp.float32)),
+        scratch_shapes=[pltpu.SMEM((FQ,), jnp.int32),
+                        pltpu.SMEM((TL_CAP,), jnp.int32),
+                        pltpu.VMEM((BLOCK, _LANES), jnp.float32),
+                        pltpu.VMEM((BLOCK, _LANES), jnp.float32),
+                        pltpu.VMEM((DB * max(1, (kbvh.tr * kbvh.leaf_size
+                                                 + _LANES - 1) // _LANES)
+                                    * 16, _LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((DB,)),
+                        pltpu.SMEM((kbvh.top_nodes.shape[0]
+                                    * kbvh.top_nodes.shape[1],),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, tminb, nodes, rows)
-
-    return t.reshape(-1)[:r], slot.reshape(-1)[:r]
+    )(ox, oy, oz, dx, dy, dz, cols, kbvh.top_nodes.reshape(-1),
+      kbvh.rows)
+    bt, bs = out
+    # lane reduction epilogue (XLA, row-major): ties resolve to the smallest
+    # slot, matching the argmin semantics of the XLA sweep
+    t = jnp.min(bt, axis=1)
+    sl = jnp.min(jnp.where(bt <= t[:, None], bs, jnp.float32(2**30)), axis=1)
+    sl = jnp.where(jnp.isfinite(t), sl, -1.0)
+    return t[:r], sl[:r].astype(jnp.int32)
 
 
 def bvh_closest_hit_pallas(kbvh, solids, o, d, tmin, tmax, interpret=False):
