@@ -28,20 +28,23 @@ def _measure(cs, width, height, spp, max_depth):
     import numpy as np
     from solstrale_tpu.renderer import integrator
 
+    @jax.jit
     def run(sample_start):
         color, _, _, segs = integrator.render_sample_batch(
             cs, sample_start, jnp.int32(1), width=width, height=height,
             max_depth=max_depth, shader_kind=integrator.SHADER_PATH,
             need_aux=False, n_samples=spp)
-        return color, segs
+        # scalar checksum forces full completion (block_until_ready returns
+        # early under the axon remote backend) without timing the multi-MB
+        # image transfer through the dev tunnel — a real host fetches the
+        # accumulator locally
+        return jnp.sum(color), segs
 
-    # warmup/compile (np.asarray forces full completion — block_until_ready
-    # returns early under the axon remote backend)
-    np.asarray(run(jnp.int32(100))[0])
+    float(run(jnp.int32(100))[0])  # warmup/compile
 
     t0 = time.perf_counter()
-    color, segs = run(jnp.int32(1))
-    color = np.asarray(color)
+    checksum, segs = run(jnp.int32(1))
+    checksum = float(checksum)
     dt = time.perf_counter() - t0
 
     # Rays/s counts actual path segments traced (primary + bounce rays),

@@ -13,7 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..geo import ALMOST_ZERO, INF, RAY_T_MIN, cross, dot, unit
+from ..geo import ALMOST_ZERO, INF, RAY_T_MIN
+from ..geo import soa
 from ..scene.compile import (KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE,
                              Lights, Solids)
 
@@ -246,17 +247,18 @@ def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
     return out
 
 
-def hit_attributes(s: Solids, o, d, t, kind, idx):
-    """Recompute full hit attributes for winning (kind, idx, t) — fully
-    gather-free: winner parameters come from one-hot matmuls over the
-    compile-time attribute tables, derived quantities are recomputed.
+def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
+    """Recompute full hit attributes for winning (kind, idx, t) in SoA form
+    (o, d and all returned vectors are component tuples; uv is (u, v)):
+    winner parameters come from one one-hot matmul / row gather over the
+    compile-time attribute tables, transposed ONCE so every later op runs
+    on full-lane (R,) arrays (geo/soa.py has the layout rationale).
 
     Mirrors RayHit construction in sphere.rs:84-107 / quad.rs:164-193 /
     triangle.rs:142-172: geometric normal flipped to face the ray, tangent
     frame for bump mapping, texture UV, front_face flag, material id.
-    Returns dict of (R,·) arrays.
     """
-    point = o + d * t[..., None]
+    point = (o[0] + d[0] * t, o[1] + d[1] * t, o[2] + d[2] * t)
     n_q = s.qd_q.shape[0]
     n_pl = s.pl_attr.shape[0]
     n_sph = s.sph_attr.shape[0]
@@ -264,45 +266,57 @@ def hit_attributes(s: Solids, o, d, t, kind, idx):
     is_s = (kind == KIND_SPHERE)
     planar_slot = jnp.where(kind == KIND_TRIANGLE, n_q + idx, idx)
     planar_slot = jnp.clip(planar_slot, 0, n_pl - 1)
-    ap = onehot_matmul(planar_slot, n_pl, s.pl_attr)
-    asp = onehot_matmul(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr)
+    ap = onehot_matmul(planar_slot, n_pl, s.pl_attr).T    # (24, R)
+    asp = onehot_matmul(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr).T
 
     # --- sphere derived (sphere.rs:84-107) ---
-    c = asp[:, 0:3]
-    n_raw = point - c
-    n_unit = unit(n_raw)
-    front_s = dot(d, n_unit) < 0.0
-    normal_s = jnp.where(front_s[..., None], n_unit, -n_unit)
-    theta = jnp.arccos(jnp.clip(-n_unit[..., 1], -1.0, 1.0))
-    phi = -jnp.arctan2(n_unit[..., 2], n_unit[..., 0]) + jnp.pi
-    uv_s = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], -1)
-    unit_y = jnp.asarray([0.0, 1.0, 0.0], n_raw.dtype)
-    tangent_s = unit(cross(jnp.broadcast_to(unit_y, n_raw.shape), n_raw))
-    bitangent_s = cross(n_raw, tangent_s)  # unnormalized, as in sphere.rs:89-90
-    mat_s = asp[:, 4]
+    c = (asp[0], asp[1], asp[2])
+    n_raw = soa.vsub(point, c)
+    n_unit = soa.unit3(n_raw)
+    front_s = soa.dot3(d, n_unit) < 0.0
+    normal_s = soa.where3(front_s, n_unit, soa.vneg(n_unit))
+    theta = jnp.arccos(jnp.clip(-n_unit[1], -1.0, 1.0))
+    phi = -jnp.arctan2(n_unit[2], n_unit[0]) + jnp.pi
+    uv_s = (phi / (2.0 * jnp.pi), theta / jnp.pi)
+    # cross(unit_y, n_raw) with unit_y=(0,1,0) = (n_raw.z, 0, -n_raw.x)
+    tangent_s = soa.unit3((n_raw[2], jnp.zeros_like(n_raw[2]), -n_raw[0]))
+    bitangent_s = soa.cross3(n_raw, tangent_s)  # unnormalized (sphere.rs:89-90)
+    mat_s = asp[4]
 
     # --- planar derived (quad.rs:164-193 / triangle.rs:142-172) ---
-    n = ap[:, 0:3]
-    bu = dot(point, ap[:, 3:6]) + ap[:, 6]
-    bv = dot(point, ap[:, 7:10]) + ap[:, 10]
-    tangent_p = ap[:, 11:14]
-    bitangent_p = ap[:, 14:17]
-    uv_p = ap[:, 17:19] + bu[..., None] * ap[:, 19:21] \
-        + bv[..., None] * ap[:, 21:23]
-    mat_p = ap[:, 23]
-    front_p = dot(d, n) < 0.0
-    normal_p = jnp.where(front_p[..., None], n, -n)
+    n = (ap[0], ap[1], ap[2])
+    bu = soa.dot3(point, (ap[3], ap[4], ap[5])) + ap[6]
+    bv = soa.dot3(point, (ap[7], ap[8], ap[9])) + ap[10]
+    tangent_p = (ap[11], ap[12], ap[13])
+    bitangent_p = (ap[14], ap[15], ap[16])
+    uv_p = (ap[17] + bu * ap[19] + bv * ap[21],
+            ap[18] + bu * ap[20] + bv * ap[22])
+    mat_p = ap[23]
+    front_p = soa.dot3(d, n) < 0.0
+    normal_p = soa.where3(front_p, n, soa.vneg(n))
 
-    m = is_s[..., None]
     return dict(
         point=point,
-        normal=jnp.where(m, normal_s, normal_p),
-        tangent=jnp.where(m, tangent_s, tangent_p),
-        bitangent=jnp.where(m, bitangent_s, bitangent_p),
-        uv=jnp.where(m, uv_s, uv_p),
+        normal=soa.where3(is_s, normal_s, normal_p),
+        tangent=soa.where3(is_s, tangent_s, tangent_p),
+        bitangent=soa.where3(is_s, bitangent_s, bitangent_p),
+        uv=(jnp.where(is_s, uv_s[0], uv_p[0]),
+            jnp.where(is_s, uv_s[1], uv_p[1])),
         front_face=jnp.where(is_s, front_s, front_p),
         mat=jnp.where(is_s, mat_s, mat_p).astype(jnp.int32),
     )
+
+
+def hit_attributes(s: Solids, o, d, t, kind, idx):
+    """AoS convenience wrapper over hit_attributes_soa: (R, 3) in/out.
+    Returns dict of (R,.) arrays (uv as (R, 2))."""
+    a = hit_attributes_soa(s, soa.from_aos(o), soa.from_aos(d), t, kind, idx)
+    return dict(
+        point=soa.to_aos(a["point"]), normal=soa.to_aos(a["normal"]),
+        tangent=soa.to_aos(a["tangent"]),
+        bitangent=soa.to_aos(a["bitangent"]),
+        uv=jnp.stack(a["uv"], -1), front_face=a["front_face"],
+        mat=a["mat"])
 
 
 def medium_hit(medium, o, d, t_solid, u_flight):
@@ -334,6 +348,109 @@ def medium_hit(medium, o, d, t_solid, u_flight):
 
 
 # --- NEE light table ops (pdf.rs:88-102 semantics) ------------------------
+
+def light_pdf_mean3(lights: Lights, o, d):
+    """Mean over lights of the per-light sampling pdf, SoA form: o, d are
+    (R,) component tuples, result (R,). Statically unrolled over the light
+    list so every op runs on full-lane (R,) arrays — the (R, L) broadcast
+    form wastes 128/L lanes per op (geo/soa.py).
+
+    Per-light semantics exactly mirror light_pdf_values: sphere ->
+    1/solid-angle gated on a self re-intersection (sphere.rs:40-56),
+    quad/tri -> dist^2/(cos*area) (quad.rs:132-143); NaNs propagate
+    identically (suppressed later by the shader's NaN filter)."""
+    tmin, tmax = RAY_T_MIN, INF
+    n_l = lights.kind.shape[0]
+    dd = soa.dot3(d, d)
+    acc = jnp.zeros_like(o[0])
+    for i in range(n_l):
+        kind_i = lights.kind[i]
+        p0 = (lights.p0[i, 0], lights.p0[i, 1], lights.p0[i, 2])
+        # sphere branch
+        oc = soa.vsub(o, p0)
+        half_b = soa.dot3(oc, d)
+        radius = lights.radius[i]
+        dist_sq = soa.dot3(oc, oc)
+        c2 = dist_sq - radius * radius
+        disc = half_b * half_b - dd * c2
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        r1 = (-half_b - sq) / dd
+        r2 = (-half_b + sq) / dd
+        sph_hit = (disc >= 0.0) & (_contains(r1, tmin, tmax)
+                                   | _contains(r2, tmin, tmax))
+        cos_theta_max = jnp.sqrt(1.0 - radius * radius / dist_sq)
+        solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
+        pdf_sph = jnp.where(sph_hit, 1.0 / solid_angle, 0.0)
+
+        # planar branch — same per-kind forms as light_pdf_values:
+        # quads use the precomputed plane functional (normal, d, w);
+        # triangles (whose table rows leave d/w zero) use Moller-Trumbore
+        # on (v0, e1, e2)
+        nrm = (lights.normal[i, 0], lights.normal[i, 1], lights.normal[i, 2])
+        v_e = (lights.p2[i, 0], lights.p2[i, 1], lights.p2[i, 2])
+        u_e = (lights.p1[i, 0], lights.p1[i, 1], lights.p1[i, 2])
+
+        denom = soa.dot3(d, nrm)
+        tq = (lights.d[i] - soa.dot3(o, nrm)) / denom
+        hp = (o[0] + d[0] * tq, o[1] + d[1] * tq, o[2] + d[2] * tq)
+        pv = soa.vsub(hp, p0)
+        w = (lights.w[i, 0], lights.w[i, 1], lights.w[i, 2])
+        pu = soa.dot3(w, soa.cross3(pv, v_e))
+        pvv = soa.dot3(w, soa.cross3(u_e, pv))
+        okq = ((jnp.abs(denom) >= ALMOST_ZERO)
+               & (pu >= 0.0) & (pu <= 1.0) & (pvv >= 0.0) & (pvv <= 1.0)
+               & _contains(tq, tmin, tmax))
+
+        pvec = soa.cross3(d, v_e)
+        det = soa.dot3(u_e, pvec)
+        inv_det = 1.0 / det
+        tvec = soa.vsub(o, p0)
+        qvec = soa.cross3(tvec, u_e)
+        bu = soa.dot3(tvec, pvec) * inv_det
+        bv = soa.dot3(d, qvec) * inv_det
+        tt = soa.dot3(v_e, qvec) * inv_det
+        okt = ((jnp.abs(det) >= ALMOST_ZERO)
+               & (bu >= 0.0) & (bu <= 1.0) & (bv >= 0.0) & (bu + bv <= 1.0)
+               & _contains(tt, tmin, tmax))
+
+        is_quad = kind_i == KIND_QUAD
+        t_pl = jnp.where(is_quad, tq, tt)
+        ok_pl = jnp.where(is_quad, okq, okt)
+        cos_planar = jnp.abs(denom) / jnp.sqrt(dd)
+        pdf_pl = jnp.where(ok_pl,
+                           t_pl * t_pl * dd / (cos_planar * lights.area[i]),
+                           0.0)
+        acc = acc + jnp.where(kind_i == KIND_SPHERE, pdf_sph, pdf_pl)
+    return acc / n_l
+
+
+def sample_light_direction3(lights: Lights, o, pick, r1, r2):
+    """SoA light-direction sampling (pdf.rs:98-101): o is a component
+    tuple, returns a component tuple. One one-hot lookup transposed once;
+    all vector math full-lane."""
+    from . import rng as _rng
+    from ..geo import soa as _s
+
+    la = onehot_matmul(pick, lights.attr.shape[0], lights.attr).T  # (11, R)
+    kind = la[0].astype(jnp.int32)
+    p0 = (la[1], la[2], la[3])
+    p1 = (la[4], la[5], la[6])
+    p2 = (la[7], la[8], la[9])
+    radius = la[10]
+
+    # sphere: cone towards center
+    to_c = _s.vsub(p0, o)
+    dist_sq = _s.dot3(to_c, to_c)
+    tan, bit, nrm = _s.onb_from_w3(to_c)
+    local = _rng.to_sphere3(radius, dist_sq, r1, r2)
+    dir_sphere = _s.onb_local3(tan, bit, nrm, local)
+
+    # planar: point on parallelogram
+    dir_planar = _s.vsub(_s.vadd(p0, _s.vadd(_s.vscale(p1, r1),
+                                             _s.vscale(p2, r2))), o)
+
+    return _s.where3(kind == KIND_SPHERE, dir_sphere, dir_planar)
+
 
 def light_pdf_values(lights: Lights, o, d):
     """Per-light pdf of sampling direction d from origin o: (R, L).

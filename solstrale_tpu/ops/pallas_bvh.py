@@ -248,7 +248,11 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     """Closest planar hit via packet BVH traversal. Returns (t, slot) with
     slot an index into the unified planar table (Solids.pl_*), -1 on miss
     (t = INF)."""
-    r = o.shape[0]
+    # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
+    # form — avoids column extracts on the hot path)
+    oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
+    dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
+    r = oc[0].shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
 
@@ -256,11 +260,11 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
         x = jnp.pad(x, ((0, pad),))
         return x.reshape(n_pad // _LANES, _LANES)
 
-    ox, oy, oz = (prep_row(o[:, i]) for i in range(3))
-    dx, dy, dz = (prep_row(d[:, i]) for i in range(3))
+    ox, oy, oz = (prep_row(c) for c in oc)
+    dx, dy, dz = (prep_row(c) for c in dc)
     tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    cols = jnp.concatenate([o, d, tminb[:, None],
-                            jnp.zeros((r, 1), jnp.float32)], axis=1)
+    cols = jnp.stack(list(oc) + list(dc)
+                     + [tminb, jnp.zeros((r,), jnp.float32)], axis=1)
     cols = jnp.pad(cols, ((0, pad), (0, 0)))
 
     grid = (n_pad // BLOCK,)

@@ -153,8 +153,11 @@ def closest_hit_pallas(solids, o, d, tmin, tmax, spheres_only=False,
     spheres, S+planar_slot otherwise, -1 on miss (t=INF).
 
     spheres_only=True skips the planar sweep (used by the BVH fast path,
-    which traverses planar prims itself — ops/pallas_bvh.py)."""
-    r = o.shape[0]
+    which traverses planar prims itself — ops/pallas_bvh.py).
+    o, d: (R, 3) arrays or SoA component tuples."""
+    oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
+    dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
+    r = oc[0].shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
 
@@ -162,8 +165,8 @@ def closest_hit_pallas(solids, o, d, tmin, tmax, spheres_only=False,
         x = jnp.pad(x, ((0, pad),))
         return x.reshape(n_pad // _LANES, _LANES)
 
-    ox, oy, oz = (prep(o[:, i]) for i in range(3))
-    dx, dy, dz = (prep(d[:, i]) for i in range(3))
+    ox, oy, oz = (prep(c) for c in oc)
+    dx, dy, dz = (prep(c) for c in dc)
     tminb = prep(jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,)))
     tmaxb = prep(jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)))
     # padding rays have zero direction + [0, 0] interval; their results are

@@ -135,3 +135,44 @@ def to_sphere(radius, distance_squared, r1, r2):
     phi = 2.0 * jnp.pi * r1
     zz = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     return jnp.stack([jnp.cos(phi) * zz, jnp.sin(phi) * zz, z], axis=-1)
+
+
+# --- SoA variants (component tuples, full-lane (R,) ops; see geo/soa.py) ---
+
+def cosine_direction3(r1, r2):
+    """SoA cosine_direction (vec3.rs:417-428)."""
+    z = jnp.sqrt(1.0 - r2)
+    phi = 2.0 * jnp.pi * r1
+    sq_r2 = jnp.sqrt(r2)
+    return (jnp.cos(phi) * sq_r2, jnp.sin(phi) * sq_r2, z)
+
+
+def unit_vector3(r1, r2):
+    """SoA unit_vector: uniform direction on the unit sphere."""
+    z = 1.0 - 2.0 * r1
+    phi = 2.0 * jnp.pi * r2
+    zz = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return (jnp.cos(phi) * zz, jnp.sin(phi) * zz, z)
+
+
+def in_unit_sphere3(r1, r2, r3):
+    """SoA in_unit_sphere (radius-CDF inversion, exp(log/3) cbrt)."""
+    d = unit_vector3(r1, r2)
+    radius = jnp.exp(jnp.log(jnp.maximum(r3, 1e-12)) / 3.0)
+    return (d[0] * radius, d[1] * radius, d[2] * radius)
+
+
+def in_unit_disc3(r1, r2):
+    """SoA in_unit_disc (z = 0)."""
+    r = jnp.sqrt(r1)
+    phi = 2.0 * jnp.pi * r2
+    return (r * jnp.cos(phi), r * jnp.sin(phi), jnp.zeros_like(r))
+
+
+def to_sphere3(radius, distance_squared, r1, r2):
+    """SoA cone sample towards a sphere light (sphere.rs:142-153)."""
+    z = 1.0 + r2 * (jnp.sqrt(jnp.maximum(
+        0.0, 1.0 - radius * radius / distance_squared)) - 1.0)
+    phi = 2.0 * jnp.pi * r1
+    zz = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return (jnp.cos(phi) * zz, jnp.sin(phi) * zz, z)

@@ -37,12 +37,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geo import (INF, RAY_T_MIN, dot, onb_from_w, onb_local,
-                   reflect, refract, unit)
+from ..geo import INF, RAY_T_MIN
+from ..geo import soa
+from ..geo.soa import (dot3, onb_from_w3, onb_local3, reflect3,
+                       refract3, unit3, vneg, vscale, where3)
 from ..ops import rng
-from ..ops.intersect import (closest_solid_hit, hit_attributes,
-                             light_pdf_values, medium_hit, onehot_matmul,
-                             sample_light_direction)
+from ..ops.intersect import (closest_solid_hit, hit_attributes_soa,
+                             light_pdf_mean3, medium_hit, onehot_matmul,
+                             sample_light_direction3)
 from ..scene.compile import (BLEND, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC,
                              KIND_MEDIUM, LAMBERTIAN, METAL, CompiledScene)
 
@@ -51,33 +53,36 @@ _MEDIUM_PURPOSE_BASE = 16  # per-medium free-flight draw purposes
 
 
 def mat_row(mats, mat_id):
-    """Per-ray material parameters via one-hot matmul (gather-free)."""
-    a = onehot_matmul(mat_id, mats.attr.shape[0], mats.attr)
-    return dict(kind=a[:, 0].astype(jnp.int32),
-                albedo_tex=a[:, 1].astype(jnp.int32),
-                normal_tex=a[:, 2].astype(jnp.int32),
-                fuzz=a[:, 3], ior=a[:, 4], atten=a[:, 5],
-                blend_factor=a[:, 6],
-                blend_m1=a[:, 7].astype(jnp.int32),
-                blend_m2=a[:, 8].astype(jnp.int32))
+    """Per-ray material parameters via one-hot matmul (gather-free),
+    transposed once so each field is a full-lane (R,) row."""
+    a = onehot_matmul(mat_id, mats.attr.shape[0], mats.attr).T
+    return dict(kind=a[0].astype(jnp.int32),
+                albedo_tex=a[1].astype(jnp.int32),
+                normal_tex=a[2].astype(jnp.int32),
+                fuzz=a[3], ior=a[4], atten=a[5],
+                blend_factor=a[6],
+                blend_m1=a[7].astype(jnp.int32),
+                blend_m2=a[8].astype(jnp.int32))
 
 
 def sample_texture(tex, tex_id, uv):
     """Arena texture lookup: nearest neighbor, abs-wrap, flipped v
     (texture.rs:167-180). tex_id = -1 returns black (callers mask).
+    uv is an (u, v) tuple of (R,); returns an (r, g, b) channel tuple.
     Texture metadata resolves via one-hot; only the final arena pixel fetch
     is a true gather."""
     tid = jnp.maximum(tex_id, 0)
-    ta = onehot_matmul(tid, tex.attr.shape[0], tex.attr)
-    off = ta[:, 0].astype(jnp.int32)
-    w = ta[:, 1].astype(jnp.int32)
-    h = ta[:, 2].astype(jnp.int32)
-    u = jnp.abs(uv[..., 0]) % 1.0
-    v = 1.0 - jnp.abs(uv[..., 1]) % 1.0
+    ta = onehot_matmul(tid, tex.attr.shape[0], tex.attr).T
+    off = ta[0].astype(jnp.int32)
+    w = ta[1].astype(jnp.int32)
+    h = ta[2].astype(jnp.int32)
+    u = jnp.abs(uv[0]) % 1.0
+    v = 1.0 - jnp.abs(uv[1]) % 1.0
     x = (u * (w - 1).astype(jnp.float32)).astype(jnp.int32)
     y = (v * (h - 1).astype(jnp.float32)).astype(jnp.int32)
     idx = off + y * w + x
-    return tex.pixels[idx]
+    px = tex.pixels[idx].T
+    return (px[0], px[1], px[2])
 
 
 def resolve_blend(mats, mat_id, u_levels, features=frozenset(("blend",))):
@@ -99,25 +104,29 @@ def shading_normal_of(cs, mat_id, attrs, row=None):
     """Material-transformed normal: tangent-space normal map applied through
     the hit ONB (material/mod.rs:386-389); identity without a map. When no
     material in the scene carries a normal map this is the geometric normal
-    exactly, so the texture fetch + ONB transform are skipped entirely."""
+    exactly, so the texture fetch + ONB transform are skipped entirely.
+    SoA: returns a component tuple."""
     if "normal_maps" not in cs.features:
         return attrs["normal"]
     ntex = (row or mat_row(cs.materials, mat_id))["normal_tex"]
-    tex_n = sample_texture(cs.textures, ntex, attrs["uv"]) * 2.0 - 1.0
-    mapped = onb_local(attrs["tangent"], attrs["bitangent"], attrs["normal"],
-                       tex_n.astype(jnp.float32))
-    return jnp.where((ntex >= 0)[..., None], mapped, attrs["normal"])
+    tc = sample_texture(cs.textures, ntex, attrs["uv"])
+    tex_n = (tc[0] * 2.0 - 1.0, tc[1] * 2.0 - 1.0, tc[2] * 2.0 - 1.0)
+    mapped = onb_local3(attrs["tangent"], attrs["bitangent"],
+                        attrs["normal"], tex_n)
+    return where3(ntex >= 0, mapped, attrs["normal"])
 
 
 def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
     """world.hit equivalent: closest solid hit + constant-medium events.
-    Returns (t, kind, idx) with kind=KIND_MEDIUM for volume scattering.
-    Uses the flattened LBVH when the compiled scene carries one."""
-    if cs.bvh is not None:
-        from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
+    o, d are SoA component tuples. Returns (t, kind, idx) with
+    kind=KIND_MEDIUM for volume scattering. Uses the flattened LBVH when
+    the compiled scene carries one."""
+    from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
 
+    if cs.bvh is not None:
         if _pallas_sweep_enabled() and cs.kbvh is not None:
-            # packet BVH kernel + brute sphere sweep (ops/pallas_bvh.py)
+            # packet BVH kernel + brute sphere sweep (ops/pallas_bvh.py);
+            # tuple-native — no AoS packing on the hot path
             from ..ops.pallas_bvh import bvh_closest_hit_pallas
 
             t, kind, idx = bvh_closest_hit_pallas(
@@ -126,11 +135,9 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
         else:
             from ..accel import bvh_closest_hit
 
-            t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, o, d,
-                                           RAY_T_MIN, INF)
+            t, kind, idx = bvh_closest_hit(cs.bvh, cs.solids, soa.to_aos(o),
+                                           soa.to_aos(d), RAY_T_MIN, INF)
     else:
-        from ..ops.intersect import _auto_interpret, _pallas_sweep_enabled
-
         if _pallas_sweep_enabled():
             # whole scene_hit (solids + all medium events) in ONE kernel
             from ..ops.pallas_sweep import scene_hit_fused
@@ -139,34 +146,42 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
                 rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i,
                             seed)
                 for m_i in range(len(cs.media)))
-            return scene_hit_fused(cs, o, d, u_flights, RAY_T_MIN,
+            return scene_hit_fused(cs, soa.to_aos(o), soa.to_aos(d),
+                                   u_flights, RAY_T_MIN,
                                    interpret=_auto_interpret())
-        t, kind, idx = closest_solid_hit(cs.solids, o, d, RAY_T_MIN, INF)
-    for m_i, med in enumerate(cs.media):
-        u = rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i, seed)
-        t_m = medium_hit(med, o, d, t, u)
-        is_med = t_m < t
-        t = jnp.where(is_med, t_m, t)
-        kind = jnp.where(is_med, KIND_MEDIUM, kind)
-        idx = jnp.where(is_med, m_i, idx)
+        t, kind, idx = closest_solid_hit(cs.solids, soa.to_aos(o),
+                                         soa.to_aos(d), RAY_T_MIN, INF)
+    if cs.media:
+        o_a, d_a = soa.to_aos(o), soa.to_aos(d)
+        for m_i, med in enumerate(cs.media):
+            u = rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i,
+                            seed)
+            t_m = medium_hit(med, o_a, d_a, t, u)
+            is_med = t_m < t
+            t = jnp.where(is_med, t_m, t)
+            kind = jnp.where(is_med, KIND_MEDIUM, kind)
+            idx = jnp.where(is_med, m_i, idx)
     return t, kind, idx
 
 
 def full_hit_attributes(cs, o, d, t, kind, idx, pix, sample, bounce, seed):
-    """hit_attributes + medium overrides (random phase normal, unit tangents,
-    zero uv, back face, phase material — constant_medium.rs:63-74)."""
-    attrs = hit_attributes(cs.solids, o, d, t, kind, idx)
+    """hit_attributes_soa + medium overrides (random phase normal, unit
+    tangents, zero uv, back face, phase material —
+    constant_medium.rs:63-74). o, d and returned vectors are SoA tuples."""
+    attrs = hit_attributes_soa(cs.solids, o, d, t, kind, idx)
     if cs.media:
         is_med = (kind == KIND_MEDIUM)
         r1, r2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_PHASE, seed)
-        phase_n = rng.unit_vector(r1, r2)
-        ones = jnp.ones_like(attrs["tangent"])
+        phase_n = rng.unit_vector3(r1, r2)
+        one = jnp.ones_like(t)
+        ones = (one, one, one)
         med_mats = jnp.stack([m.mat for m in cs.media])
         m_idx = jnp.clip(idx, 0, len(cs.media) - 1)
-        attrs["normal"] = jnp.where(is_med[..., None], phase_n, attrs["normal"])
-        attrs["tangent"] = jnp.where(is_med[..., None], ones, attrs["tangent"])
-        attrs["bitangent"] = jnp.where(is_med[..., None], ones, attrs["bitangent"])
-        attrs["uv"] = jnp.where(is_med[..., None], 0.0, attrs["uv"])
+        attrs["normal"] = where3(is_med, phase_n, attrs["normal"])
+        attrs["tangent"] = where3(is_med, ones, attrs["tangent"])
+        attrs["bitangent"] = where3(is_med, ones, attrs["bitangent"])
+        attrs["uv"] = (jnp.where(is_med, 0.0, attrs["uv"][0]),
+                       jnp.where(is_med, 0.0, attrs["uv"][1]))
         attrs["front_face"] = jnp.where(is_med, False, attrs["front_face"])
         attrs["mat"] = jnp.where(is_med, med_mats[m_idx], attrs["mat"])
     return attrs
@@ -179,19 +194,20 @@ def _filter_invalid(col):
 
 # --- forward clamp-fold state (see module docstring) -----------------------
 #
-# Per-lane, per-channel state (A, B, dead) + per-lane outer_pdf flag:
+# Per-lane, per-channel state (A, B, dead) + per-lane outer_pdf flag; colors
+# are (r, g, b) tuples of (R,) arrays (full-lane SoA, see geo/soa.py):
 #   A         prefix product Π color_j·prob_j over scatter levels so far
 #   B         running clamp bound min_i 3·A_{i-1} over pdf levels so far
 #   dead      channel forced to 0 by a NaN filtered at a pdf level
 #   outer_pdf True once any pdf level has been processed (an inner NaN will
 #             be filtered by that outer level's f; shader.rs:109-125)
 
-def fold_init(zero3):
-    """Identity fold state from a (R, 3) zero array (keeps mesh vary-ness)."""
-    return (zero3 + 1.0,            # A
-            zero3 + jnp.float32(INF),  # B
-            zero3 > 1.0,            # dead (all False)
-            zero3[..., 0] > 1.0)    # outer_pdf (all False)
+def fold_init(zero):
+    """Identity fold state from a (R,) zero array (keeps mesh vary-ness)."""
+    one = zero + 1.0
+    big = zero + jnp.float32(INF)
+    f = zero > 1.0
+    return ((one, one, one), (big, big, big), (f, f, f), f)
 
 
 def fold_scatter(state, color, prob, is_pdf, scat):
@@ -200,32 +216,38 @@ def fold_scatter(state, color, prob, is_pdf, scat):
     f(color·prob·L) recursion values (shader.rs:85-125) — see module
     docstring for the min-distribution identity."""
     A, B, dead, outer_pdf = state
-    a = color * prob[..., None]
     pdf_lvl = scat & is_pdf
     basic_lvl = scat & ~is_pdf
-    nan_a = jnp.isnan(a)
-    # pdf level: records its clamp bound 3·A_prev and filters its own NaNs
-    B = jnp.where(pdf_lvl[..., None], jnp.minimum(B, 3.0 * A), B)
-    dead = dead | (pdf_lvl[..., None] & nan_a)
-    # basic level: its NaN is filtered by the nearest OUTER pdf level, if any
-    dead = dead | (basic_lvl[..., None] & nan_a & outer_pdf[..., None])
-    A = jnp.where(scat[..., None], A * a, A)
-    outer_pdf = outer_pdf | pdf_lvl
-    return A, B, dead, outer_pdf
+    nA, nB, nD = [], [], []
+    for c in range(3):
+        a = color[c] * prob
+        nan_a = jnp.isnan(a)
+        # pdf level: records its clamp bound 3·A_prev, filters its own NaNs
+        nB.append(jnp.where(pdf_lvl, jnp.minimum(B[c], 3.0 * A[c]), B[c]))
+        # basic level: its NaN is filtered by the nearest OUTER pdf level
+        nD.append(dead[c] | (pdf_lvl & nan_a)
+                  | (basic_lvl & nan_a & outer_pdf))
+        nA.append(jnp.where(scat, A[c] * a, A[c]))
+    return tuple(nA), tuple(nB), tuple(nD), outer_pdf | pdf_lvl
 
 
 def fold_resolve(state, term_color):
     """Terminal color through the folded clamps: min(A·T, B), with a NaN
     terminal filtered by the innermost pdf level when one exists."""
     A, B, dead, outer_pdf = state
-    dead_t = dead | (jnp.isnan(term_color) & outer_pdf[..., None])
-    return jnp.where(dead_t, 0.0, jnp.minimum(A * term_color, B))
+    out = []
+    for c in range(3):
+        dead_t = dead[c] | (jnp.isnan(term_color[c]) & outer_pdf)
+        out.append(jnp.where(dead_t, 0.0,
+                             jnp.minimum(A[c] * term_color[c], B[c])))
+    return tuple(out)
 
 
 def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
-    """Material dispatch: compute scatter results for every material model and
-    select per ray. Returns dict with
-    is_emission, emit_color, atten, new_dir, tape_color, prob, is_pdf."""
+    """Material dispatch: compute scatter results for every material model
+    and select per ray. All vectors/colors are SoA component tuples.
+    Returns dict with is_emission, emit_color, atten, new_dir, tape_color,
+    prob, is_pdf, shading_normal, is_basic."""
     mats = cs.materials
 
     if "blend" in cs.features:
@@ -242,7 +264,7 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
 
     mk = row["kind"]
     albedo = sample_texture(cs.textures, row["albedo_tex"], attrs["uv"])
-    albedo = albedo.astype(jnp.float32)
+    albedo = tuple(c.astype(jnp.float32) for c in albedo)
 
     is_light = mk == DIFFUSE_LIGHT
     is_lamb = mk == LAMBERTIAN
@@ -252,62 +274,63 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     is_pdf = is_lamb | is_iso
 
     # --- emission (material/mod.rs:359-368) ---
-    emit_color = jnp.where(attrs["front_face"][..., None], albedo, 0.0)
+    emit_color = tuple(jnp.where(attrs["front_face"], c, 0.0)
+                       for c in albedo)
     atten = row["atten"]
 
     # --- pdf-mixture scatter (material/mod.rs:191-207, 396-410) ---
     r1, r2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_COSINE, seed)
-    ct, cb, cn = onb_from_w(s_normal)
-    bsdf_dir = jnp.where(
-        is_iso[..., None],
-        rng.unit_vector(r1, r2),
-        onb_local(ct, cb, cn, rng.cosine_direction(r1, r2)))
+    ct, cb, cn = onb_from_w3(s_normal)
+    bsdf_dir = where3(is_iso,
+                      rng.unit_vector3(r1, r2),
+                      onb_local3(ct, cb, cn, rng.cosine_direction3(r1, r2)))
 
     n_lights = cs.lights.kind.shape[0]
     u_pick = rng.uniform(pix, sample, bounce, rng.P_LIGHT_PICK, seed)
     pick = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
     l1, l2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_LIGHT_SAMPLE, seed)
-    light_dir = sample_light_direction(cs.lights, attrs["point"], pick, l1, l2)
+    light_dir = sample_light_direction3(cs.lights, attrs["point"], pick,
+                                        l1, l2)
 
     u_coin = rng.uniform(pix, sample, bounce, rng.P_MIX_COIN, seed)
-    pdf_dir = jnp.where((u_coin < 0.5)[..., None], light_dir, bsdf_dir)
+    pdf_dir = where3(u_coin < 0.5, light_dir, bsdf_dir)
 
-    light_val = jnp.mean(light_pdf_values(cs.lights, attrs["point"], pdf_dir),
-                         axis=-1)
-    unit_pdf_dir = unit(pdf_dir)
-    cos_value = jnp.maximum(dot(unit_pdf_dir, unit(s_normal)), 0.0) / jnp.pi
+    light_val = light_pdf_mean3(cs.lights, attrs["point"], pdf_dir)
+    unit_pdf_dir = unit3(pdf_dir)
+    cos_value = jnp.maximum(dot3(unit_pdf_dir, unit3(s_normal)),
+                            0.0) / jnp.pi
     sphere_value = 1.0 / (4.0 * jnp.pi)
     bsdf_val = jnp.where(is_iso, sphere_value, cos_value)
     mix_val = 0.5 * light_val + 0.5 * bsdf_val
 
-    cos_sc = dot(s_normal, unit_pdf_dir)
+    cos_sc = dot3(s_normal, unit_pdf_dir)
     lamb_sc = jnp.where(cos_sc < 0.0, 0.0, cos_sc / jnp.pi)
     scat_pdf = jnp.where(is_iso, sphere_value, lamb_sc)
     prob = scat_pdf / mix_val
 
     # --- metal (material/mod.rs:239-249) ---
     f1, f2, f3, _ = rng.uniform4(pix, sample, bounce, rng.P_FUZZ, seed)
-    reflected = reflect(unit(d), s_normal)
-    metal_dir = reflected + rng.in_unit_sphere(f1, f2, f3) * row["fuzz"][..., None]
+    reflected = reflect3(unit3(d), s_normal)
+    metal_dir = soa.vadd(reflected,
+                         vscale(rng.in_unit_sphere3(f1, f2, f3),
+                                row["fuzz"]))
 
     # --- dielectric (material/mod.rs:279-316) ---
     ior = row["ior"]
     rr = jnp.where(attrs["front_face"], 1.0 / ior, ior)
-    udir = unit(d)
-    cos_t = jnp.minimum(dot(-udir, s_normal), 1.0)
+    udir = unit3(d)
+    cos_t = jnp.minimum(dot3(vneg(udir), s_normal), 1.0)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     cannot = rr * sin_t > 1.0
     r0 = (1.0 - rr) / (1.0 + rr)
     r0 = r0 * r0
     reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
     u_d = rng.uniform(pix, sample, bounce, rng.P_DIELECTRIC, seed)
-    diel_dir = jnp.where(
-        (cannot | (reflectance > u_d))[..., None],
-        reflect(udir, s_normal),
-        refract(udir, s_normal, rr))
+    diel_dir = where3(cannot | (reflectance > u_d),
+                      reflect3(udir, s_normal),
+                      refract3(udir, s_normal, rr))
 
-    new_dir = jnp.where(is_pdf[..., None], pdf_dir,
-                        jnp.where(is_metal[..., None], metal_dir, diel_dir))
+    new_dir = where3(is_pdf, pdf_dir, where3(is_metal, metal_dir, diel_dir))
 
     # Detached-sampling estimator: gradients flow through color/emission
     # values, never through sample directions or pdf weights (the
@@ -330,7 +353,8 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
 
 
 def bounce_step(cs: CompiledScene, carry, bounce, pix, sample, seed):
-    """One wavefront bounce. Folds the scatter level into the clamp state."""
+    """One wavefront bounce. Folds the scatter level into the clamp state.
+    All vectors/colors in the carry are SoA component tuples."""
     (o, d, alive, acc_len, term_color, term_af, term_acc, fold) = carry
 
     t, kind, idx = scene_hit(cs, o, d, pix, sample, bounce, seed)
@@ -346,14 +370,16 @@ def bounce_step(cs: CompiledScene, carry, bounce, pix, sample, seed):
     emit = hit & sc["is_emission"]
     scat = hit & ~sc["is_emission"]
 
-    term_color = jnp.where(miss[..., None], cs.bg_color,
-                           jnp.where(emit[..., None], sc["emit_color"],
-                                     term_color))
+    bg = cs.bg_color
+    term_color = tuple(
+        jnp.where(miss, bg[c], jnp.where(emit, sc["emit_color"][c],
+                                         term_color[c]))
+        for c in range(3))
     term_af = jnp.where(emit, sc["atten"], jnp.where(miss, 0.0, term_af))
     term_acc = jnp.where(emit, total_len, term_acc)
 
-    new_o = jnp.where(scat[..., None], attrs["point"], o)
-    new_d = jnp.where(scat[..., None], sc["new_dir"], d)
+    new_o = where3(scat, attrs["point"], o)
+    new_d = where3(scat, sc["new_dir"], d)
     new_alive = alive & ~miss & ~emit
     new_acc = jnp.where(hit, total_len, acc_len)
 
@@ -365,8 +391,9 @@ def bounce_step(cs: CompiledScene, carry, bounce, pix, sample, seed):
 
 def camera_rays(cs: CompiledScene, pix, width, height, sample, seed):
     """Jittered thin-lens primary rays (renderer/mod.rs:262-265,
-    camera.rs:77-89) for an arbitrary batch of pixel ids. Pixel (x, y) uses
-    v-up convention; the image row is height-1-y (renderer/mod.rs:261)."""
+    camera.rs:77-89) for an arbitrary batch of pixel ids, in SoA form.
+    Pixel (x, y) uses v-up convention; the image row is height-1-y
+    (renderer/mod.rs:261)."""
     x = (pix % width).astype(jnp.float32)
     y = (pix // width).astype(jnp.float32)
     j1, j2, _, _ = rng.uniform4(pix, sample, 0, rng.P_JITTER, seed)
@@ -375,21 +402,24 @@ def camera_rays(cs: CompiledScene, pix, width, height, sample, seed):
 
     cam = cs.camera
     l1, l2, _, _ = rng.uniform4(pix, sample, 0, rng.P_LENS, seed)
-    rd = rng.in_unit_disc(l1, l2) * cam.lens_radius
-    offset = cam.u[None, :] * rd[..., 0:1] + cam.v[None, :] * rd[..., 1:2]
-    offset = jnp.where(cam.lens_radius > 0.0, offset, 0.0)
-
-    origin = cam.origin[None, :] + offset
-    direction = (cam.lower_left[None, :]
-                 + cam.horizontal[None, :] * u[..., None]
-                 + cam.vertical[None, :] * v[..., None]
-                 - cam.origin[None, :] - offset)
-    return pix, origin, direction
+    rd = rng.in_unit_disc3(l1, l2)
+    rd0 = rd[0] * cam.lens_radius
+    rd1 = rd[1] * cam.lens_radius
+    use_lens = cam.lens_radius > 0.0
+    origin = []
+    direction = []
+    for c in range(3):
+        off = jnp.where(use_lens, cam.u[c] * rd0 + cam.v[c] * rd1, 0.0)
+        origin.append(cam.origin[c] + off)
+        direction.append(cam.lower_left[c] + cam.horizontal[c] * u
+                         + cam.vertical[c] * v - cam.origin[c] - off)
+    return pix, tuple(origin), tuple(direction)
 
 
 def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
           early_exit=True):
-    """Full path trace of a ray wavefront → linear color (R, 3).
+    """Full path trace of a ray wavefront → linear color (R, 3). o, d are
+    SoA component tuples.
 
     early_exit=True runs a while_loop that stops once every ray has
     terminated (the common case is ≤5 bounces of a 50 cap) — the wavefront
@@ -399,15 +429,14 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
     """
     # derive the init state from o so every carry component is varying over
     # any shard_map mesh axes the inputs are varying over
-    zero = o[:, 0] * 0.0
-    zero3 = o * 0.0
+    zero = o[0] * 0.0
     carry = (o, d,
-             zero == zero,   # alive (all True)
-             zero,           # accumulated ray length
-             zero3,          # terminal color
-             zero,           # terminal attenuation factor
-             zero,           # terminal accumulated length
-             fold_init(zero3))
+             zero == zero,          # alive (all True)
+             zero,                  # accumulated ray length
+             (zero, zero, zero),    # terminal color
+             zero,                  # terminal attenuation factor
+             zero,                  # terminal accumulated length
+             fold_init(zero))
 
     if early_exit:
         def cond(state):
@@ -458,7 +487,8 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
         o_f, d_f, alive, term_color, term_af = args
         t, _, _ = scene_hit(cs, o_f, d_f, pix, sample, max_depth, seed)
         final_miss = alive & ~jnp.isfinite(t)
-        term_color = jnp.where(final_miss[..., None], cs.bg_color, term_color)
+        term_color = tuple(jnp.where(final_miss, cs.bg_color[c],
+                                     term_color[c]) for c in range(3))
         term_af = jnp.where(final_miss, 0.0, term_af)
         return term_color, term_af
 
@@ -470,22 +500,27 @@ def trace(cs: CompiledScene, o, d, pix, sample, seed, max_depth,
     # top-level get_attenuated_color (material/mod.rs:124-132)
     att = jnp.where(term_af > 0.0,
                     1.0 / (1.0 + term_af * term_acc), 1.0)
-    return color * att[..., None]
+    return soa.to_aos(tuple(c * att for c in color))
 
 
 def first_hit_aux(cs: CompiledScene, o, d, pix, sample, seed):
     """Albedo + normal aux channels at depth 0 (renderer/mod.rs:175-189 with
     the reference's flag-inversion bug fixed per SURVEY §3): albedo = scatter
-    color, normal = shading normal; background/zero on miss."""
+    color, normal = shading normal; background/zero on miss. SoA in,
+    (R, 3) out."""
     t, kind, idx = scene_hit(cs, o, d, pix, sample, 0, seed)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
-    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0, seed)
+    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0,
+                                seed)
     sc = scatter(cs, o, d, attrs, pix, sample, 0, seed)
-    albedo = jnp.where(sc["is_emission"][..., None], sc["emit_color"],
-                       sc["tape_color"])
-    albedo = jnp.where(hit[..., None], albedo, cs.bg_color)
-    normal = jnp.where(hit[..., None], sc["shading_normal"], 0.0)
+    albedo = soa.to_aos(tuple(
+        jnp.where(hit,
+                  jnp.where(sc["is_emission"], sc["emit_color"][c],
+                            sc["tape_color"][c]),
+                  cs.bg_color[c]) for c in range(3)))
+    normal = soa.to_aos(tuple(jnp.where(hit, sc["shading_normal"][c], 0.0)
+                              for c in range(3)))
     return albedo, normal
 
 
@@ -500,11 +535,13 @@ def shade_normal(cs, o, d, pix, sample, seed):
     t, kind, idx = scene_hit(cs, o, d, pix, sample, 0, seed)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
-    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0, seed)
+    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0,
+                                seed)
     u_bn = rng.uniform4(pix, sample, 0, rng.P_BLEND_NORMAL, seed)
     eff_n = resolve_blend(cs.materials, attrs["mat"], u_bn, cs.features)
     normal = shading_normal_of(cs, eff_n, attrs)
-    return jnp.where(hit[..., None], normal, cs.bg_color)
+    return soa.to_aos(tuple(jnp.where(hit, normal[c], cs.bg_color[c])
+                            for c in range(3)))
 
 
 def shade_simple(cs, o, d, pix, sample, seed):
@@ -513,13 +550,16 @@ def shade_simple(cs, o, d, pix, sample, seed):
     t, kind, idx = scene_hit(cs, o, d, pix, sample, 0, seed)
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 0.0)
-    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0, seed)
+    attrs = full_hit_attributes(cs, o, d, t_safe, kind, idx, pix, sample, 0,
+                                seed)
     sc = scatter(cs, o, d, attrs, pix, sample, 0, seed)
-    light_dir = jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
-    factor = dot(sc["shading_normal"], light_dir) * 0.5 + 0.75
-    col = jnp.where(sc["is_emission"][..., None], sc["emit_color"],
-                    sc["tape_color"] * factor[..., None])
-    return jnp.where(hit[..., None], col, cs.bg_color)
+    n = sc["shading_normal"]
+    factor = (n[0] * 1.0 + n[1] * 1.0 + n[2] * -1.0) * 0.5 + 0.75
+    return soa.to_aos(tuple(
+        jnp.where(hit,
+                  jnp.where(sc["is_emission"], sc["emit_color"][c],
+                            sc["tape_color"][c] * factor),
+                  cs.bg_color[c]) for c in range(3)))
 
 
 SHADER_PATH = 0
@@ -625,7 +665,6 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         return (ty * th + within // tw) * width + tx * tw + within % tw
 
     zero_l = jnp.zeros((lanes,), jnp.float32)
-    zero3_l = jnp.zeros((lanes, 3), jnp.float32)
 
     def assignment(qpos):
         """queue position → (pixel id, accum slot, sample id)."""
@@ -644,28 +683,32 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         v = (y + j2) / (height - 1)
         cam = cs.camera
         l1, l2, _, _ = rng.uniform4(pixel, sample_arr, 0, rng.P_LENS, seed)
-        rd = rng.in_unit_disc(l1, l2) * cam.lens_radius
-        offset = cam.u[None, :] * rd[..., 0:1] + cam.v[None, :] * rd[..., 1:2]
-        offset = jnp.where(cam.lens_radius > 0.0, offset, 0.0)
-        o = cam.origin[None, :] + offset
-        d = (cam.lower_left[None, :] + cam.horizontal[None, :] * u[..., None]
-             + cam.vertical[None, :] * v[..., None]
-             - cam.origin[None, :] - offset)
-        return o, d
+        rd = rng.in_unit_disc3(l1, l2)
+        rd0 = rd[0] * cam.lens_radius
+        rd1 = rd[1] * cam.lens_radius
+        use_lens = cam.lens_radius > 0.0
+        o = []
+        d = []
+        for c in range(3):
+            off = jnp.where(use_lens, cam.u[c] * rd0 + cam.v[c] * rd1, 0.0)
+            o.append(cam.origin[c] + off)
+            d.append(cam.lower_left[c] + cam.horizontal[c] * u
+                     + cam.vertical[c] * v - cam.origin[c] - off)
+        return tuple(o), tuple(d)
 
     qpos0 = jnp.arange(lanes, dtype=jnp.int32)
     pixel0, pslot0, sample0 = assignment(qpos0)
     o0, d0 = cam_rays(pixel0, sample0)
-    zero3_l3 = jnp.zeros((lanes, 3), jnp.float32)
 
     state = dict(
         qpos=qpos0,                    # queue position per lane
         bounce=jnp.zeros((lanes,), jnp.int32),
         o=o0, d=d0,
         acc_len=zero_l,
-        fold=fold_init(zero3_l3),
+        fold=fold_init(zero_l),
         next_q=jnp.int32(lanes),       # next unclaimed queue position
-        accum=jnp.zeros((n_pix, 3), jnp.float32),
+        # per-channel accumulators: full-lane (n_pix,) planes (geo/soa.py)
+        accum=tuple(jnp.zeros((n_pix,), jnp.float32) for _ in range(3)),
         segments=jnp.float32(0.0),
     )
 
@@ -698,23 +741,27 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         terminal = miss | capped | emit
 
         total_len = state["acc_len"] + t_safe
-        term_color = jnp.where(miss[..., None], cs.bg_color,
-                               jnp.where(emit[..., None], sc["emit_color"],
-                                         0.0))
+        term_color = tuple(
+            jnp.where(miss, cs.bg_color[c],
+                      jnp.where(emit, sc["emit_color"][c], 0.0))
+            for c in range(3))
         term_af = jnp.where(emit, sc["atten"], 0.0)
         term_acc = jnp.where(emit, total_len, 0.0)
 
         L = fold_resolve(state["fold"], term_color)
         att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
-        contrib = jnp.where(terminal[..., None], L * att[..., None], 0.0)
-        accum = state["accum"].at[pslot].add(contrib)
+        accum = tuple(
+            state["accum"][c].at[pslot].add(
+                jnp.where(terminal, L[c] * att, 0.0))
+            for c in range(3))
 
         # fold this bounce's scatter level; reset regenerated lanes
         A, B, dead, outer = fold_scatter(state["fold"], sc["tape_color"],
                                          sc["prob"], sc["is_pdf"], scat)
-        tm = terminal[..., None]
-        fold = (jnp.where(tm, 1.0, A), jnp.where(tm, INF, B),
-                jnp.where(tm, False, dead), jnp.where(terminal, False, outer))
+        fold = (tuple(jnp.where(terminal, 1.0, A[c]) for c in range(3)),
+                tuple(jnp.where(terminal, INF, B[c]) for c in range(3)),
+                tuple(jnp.where(terminal, False, dead[c]) for c in range(3)),
+                jnp.where(terminal, False, outer))
 
         # terminal lanes claim the next queue slots (rank by cumsum)
         term_i = terminal.astype(jnp.int32)
@@ -724,10 +771,8 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
         npixel, _, nsample = assignment(jnp.minimum(new_qpos, total_q - 1))
         o_new, d_new = cam_rays(npixel, nsample)
-        o2 = jnp.where(terminal[..., None], o_new,
-                       jnp.where(scat[..., None], attrs["point"], o))
-        d2 = jnp.where(terminal[..., None], d_new,
-                       jnp.where(scat[..., None], sc["new_dir"], d))
+        o2 = where3(terminal, o_new, where3(scat, attrs["point"], o))
+        d2 = where3(terminal, d_new, where3(scat, sc["new_dir"], d))
         bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))
         acc2 = jnp.where(terminal, 0.0,
                          jnp.where(scat, total_len, state["acc_len"]))
@@ -738,29 +783,18 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
                     + jnp.sum(active.astype(jnp.float32)))
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["accum"], state["segments"]
+    return soa.to_aos(state["accum"]), state["segments"]
 
 
 def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
                        *, width, height, max_depth):
     """Regenerative wavefront: one lane per pixel; when a lane's path
-    terminates it unwinds its tape immediately and regenerates the next
-    sample's camera ray — keeping every VPU lane occupied until the whole
-    pixel's sample budget is spent. This is the occupancy fix for the
-    per-sample wavefront, whose while_loop runs until the single deepest
-    path dies (≈10% average occupancy).
-
-    The per-lane tape is a *ring buffer* indexed by the global iteration
-    counter: every lane pushes exactly one entry per iteration (garbage
-    entries masked by per-lane path_len), so the j-th-newest entry of every
-    lane lives at the same slot (it-1-j) mod D — pushes are O(n), not
-    O(D·n), and the exact nested clamp/NaN unwind (shader.rs:95-125) reads
-    slots newest-first. Returns the SUM of n_samples sample passes per lane,
-    (R, 3).
-    """
-    n = pix.shape[0]
+    terminates it accumulates and regenerates the next sample's camera ray —
+    keeping every VPU lane occupied until the whole pixel's sample budget is
+    spent. (The work-queue wavefront above generalizes this; kept for the
+    occupancy comparison in tools/ and as a simpler reference.)
+    Returns the SUM of n_samples sample passes per lane, (R, 3)."""
     zero = pix.astype(jnp.float32) * 0.0
-    zero3 = jnp.stack([zero, zero, zero], -1)
 
     def cam_rays(sample_arr):
         x = (pix % width).astype(jnp.float32)
@@ -770,14 +804,18 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         v = (y + j2) / (height - 1)
         cam = cs.camera
         l1, l2, _, _ = rng.uniform4(pix, sample_arr, 0, rng.P_LENS, seed)
-        rd = rng.in_unit_disc(l1, l2) * cam.lens_radius
-        offset = cam.u[None, :] * rd[..., 0:1] + cam.v[None, :] * rd[..., 1:2]
-        offset = jnp.where(cam.lens_radius > 0.0, offset, 0.0)
-        o = cam.origin[None, :] + offset
-        d = (cam.lower_left[None, :] + cam.horizontal[None, :] * u[..., None]
-             + cam.vertical[None, :] * v[..., None]
-             - cam.origin[None, :] - offset)
-        return o, d
+        rd = rng.in_unit_disc3(l1, l2)
+        rd0 = rd[0] * cam.lens_radius
+        rd1 = rd[1] * cam.lens_radius
+        use_lens = cam.lens_radius > 0.0
+        o = []
+        d = []
+        for c in range(3):
+            off = jnp.where(use_lens, cam.u[c] * rd0 + cam.v[c] * rd1, 0.0)
+            o.append(cam.origin[c] + off)
+            d.append(cam.lower_left[c] + cam.horizontal[c] * u
+                     + cam.vertical[c] * v - cam.origin[c] - off)
+        return tuple(o), tuple(d)
 
     sample0 = zero.astype(jnp.int32) + sample_start
     o0, d0 = cam_rays(sample0)
@@ -787,8 +825,8 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         bounce=zero.astype(jnp.int32),        # current depth per lane
         o=o0, d=d0,
         acc_len=zero,
-        fold=fold_init(zero3),
-        accum=zero3,                          # completed-sample color sum
+        fold=fold_init(zero),
+        accum=(zero, zero, zero),             # completed-sample color sum
         segments=jnp.sum(zero),               # rays traced (perf telemetry)
     )
     sample_end = sample_start + n_samples
@@ -816,31 +854,32 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         terminal = miss | capped | emit
 
         total_len = state["acc_len"] + t_safe
-        term_color = jnp.where(miss[..., None], cs.bg_color,
-                               jnp.where(emit[..., None], sc["emit_color"],
-                                         0.0))
+        term_color = tuple(
+            jnp.where(miss, cs.bg_color[c],
+                      jnp.where(emit, sc["emit_color"][c], 0.0))
+            for c in range(3))
         term_af = jnp.where(emit, sc["atten"], 0.0)
         term_acc = jnp.where(emit, total_len, 0.0)
 
         L = fold_resolve(state["fold"], term_color)
         att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
-        accum = state["accum"] + jnp.where(terminal[..., None],
-                                           L * att[..., None], 0.0)
+        accum = tuple(
+            state["accum"][c] + jnp.where(terminal, L[c] * att, 0.0)
+            for c in range(3))
 
         # fold this bounce's scatter level; reset regenerated lanes
         A, B, dead, outer = fold_scatter(state["fold"], sc["tape_color"],
                                          sc["prob"], sc["is_pdf"], scat)
-        tm = terminal[..., None]
-        fold = (jnp.where(tm, 1.0, A), jnp.where(tm, INF, B),
-                jnp.where(tm, False, dead), jnp.where(terminal, False, outer))
+        fold = (tuple(jnp.where(terminal, 1.0, A[c]) for c in range(3)),
+                tuple(jnp.where(terminal, INF, B[c]) for c in range(3)),
+                tuple(jnp.where(terminal, False, dead[c]) for c in range(3)),
+                jnp.where(terminal, False, outer))
 
         # --- regenerate terminal lanes / advance scattering lanes ---
         new_sample = jnp.where(terminal, sample + 1, sample)
         o_new, d_new = cam_rays(new_sample)
-        o2 = jnp.where(terminal[..., None], o_new,
-                       jnp.where(scat[..., None], attrs["point"], o))
-        d2 = jnp.where(terminal[..., None], d_new,
-                       jnp.where(scat[..., None], sc["new_dir"], d))
+        o2 = where3(terminal, o_new, where3(scat, attrs["point"], o))
+        d2 = where3(terminal, d_new, where3(scat, sc["new_dir"], d))
         bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))
         acc2 = jnp.where(terminal, 0.0,
                          jnp.where(scat, total_len, state["acc_len"]))
@@ -851,7 +890,7 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
                     + jnp.sum(active.astype(jnp.float32)))
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["accum"], state["segments"]
+    return soa.to_aos(state["accum"]), state["segments"]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth",

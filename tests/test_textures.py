@@ -48,8 +48,9 @@ def test_arena_sampling_wrap():
     tid = int(cs.materials.albedo_tex[1])
 
     def sample(u, v):
-        uv = jnp.asarray([[u, v]], jnp.float32)
-        return np.asarray(sample_texture(cs.textures, jnp.asarray([tid]), uv))[0]
+        uv = (jnp.asarray([u], jnp.float32), jnp.asarray([v], jnp.float32))
+        rgb = sample_texture(cs.textures, jnp.asarray([tid]), uv)
+        return np.asarray([float(c[0]) for c in rgb])
 
     # v flipped: uv (0,0) → image bottom row; x=u*(w-1) truncated
     np.testing.assert_allclose(sample(0.0, 0.0), [0, 0, 1])      # bottom-left

@@ -46,12 +46,15 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     height = int(sys.argv[2]) if len(sys.argv) > 2 else 266
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    from solstrale_tpu.geo import soa
+
     cfg = RenderConfig(width=width, height=height, samples_per_pixel=1)
     cs = compile_scene(create_test_scene(cfg))
     n = width * height
     pix = jnp.arange(n, dtype=jnp.int32)
-    _, o0, d0 = I.camera_rays(cs, pix, width, height, jnp.int32(1),
-                              jnp.int32(1))
+    _, o0s, d0s = I.camera_rays(cs, pix, width, height, jnp.int32(1),
+                                jnp.int32(1))
+    o0, d0 = soa.to_aos(o0s), soa.to_aos(d0s)
     print(f"rays={n}  spheres={int(cs.solids.sph_valid.sum())}  "
           f"planar={int(cs.solids.pl_valid.sum())}  iters={iters}")
 
@@ -91,12 +94,14 @@ def main():
     attrs0 = jax.jit(lambda: hit_attributes(cs.solids, o0, d0, ts0, kind0,
                                             idx0))()
 
+    attrs0s = jax.jit(lambda: I.full_hit_attributes(
+        cs, o0s, d0s, ts0, kind0, idx0, pix, 1, 0, 1))()
+
     def body_scatter(i, c):
-        o, d = vary(c)
-        a = dict(attrs0)
-        a["point"] = attrs0["point"] + c * 1e-12
-        sc = I.scatter(cs, o, d, a, pix, 1, i, 1)
-        return c + jnp.sum(sc["new_dir"]) * 1e-12
+        a = dict(attrs0s)
+        a["point"] = tuple(p + c * 1e-12 for p in attrs0s["point"])
+        sc = I.scatter(cs, o0s, d0s, a, pix, 1, i, 1)
+        return c + jnp.sum(sc["new_dir"][0]) * 1e-12
 
     device_time("scatter (materials+NEE+texture)", body_scatter, iters)
 
@@ -107,9 +112,9 @@ def main():
     device_time("light_pdf_values", body_lpdf, iters)
 
     def body_tex(i, c):
-        uv = attrs0["uv"] + c * 1e-12
+        uv = tuple(u + c * 1e-12 for u in attrs0s["uv"])
         return c + jnp.sum(I.sample_texture(
-            cs.textures, jnp.zeros(n, jnp.int32), uv)) * 1e-12
+            cs.textures, jnp.zeros(n, jnp.int32), uv)[0]) * 1e-12
 
     device_time("sample_texture (arena gather)", body_tex, iters)
 
@@ -120,12 +125,13 @@ def main():
     device_time("rng.uniform4", body_rng, iters)
 
     def body_step(i, c):
-        o, d = vary(c)
-        carry = (o, d, o[:, 0] == o[:, 0], o[:, 0] * 0, o * 0, o[:, 0] * 0,
-                 o[:, 0] * 0)
-        carry, _ = I.bounce_step(cs, carry, i, pix, jnp.int32(1),
-                                 jnp.int32(1))
-        return c + jnp.sum(carry[0]) * 1e-12
+        o = tuple(p + c * 1e-12 for p in o0s)
+        zero = o[0] * 0.0
+        carry = (o, d0s, zero == zero, zero, (zero, zero, zero), zero, zero,
+                 I.fold_init(zero))
+        carry = I.bounce_step(cs, carry, i, pix, jnp.int32(1),
+                              jnp.int32(1))
+        return c + jnp.sum(carry[0][0]) * 1e-12
 
     t_step = device_time("bounce_step (everything)", body_step, iters)
 

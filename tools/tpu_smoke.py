@@ -93,9 +93,12 @@ def check_sweep():
 
     cfg = RenderConfig(width=400, height=266, samples_per_pixel=1, seed=1)
     cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    from solstrale_tpu.geo import soa
+
     pix = jnp.arange(131072, dtype=jnp.int32)
     _, o, d = integrator.camera_rays(cs, pix, 400, 266, jnp.int32(1),
                                      jnp.int32(1))
+    o, d = soa.to_aos(o), soa.to_aos(d)
     u = tuple(jnp.full((131072,), 0.5, jnp.float32) for _ in cs.media)
     fn = jax.jit(lambda cs, o, d, u: scene_hit_fused(cs, o, d, u, 0.001))
     fn.lower(cs, o, d, u).compile()
