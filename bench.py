@@ -25,7 +25,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
 def _measure(cs, width, height, spp, max_depth):
-    import numpy as np
     from solstrale_tpu.renderer import integrator
 
     @jax.jit

@@ -247,6 +247,30 @@ def onehot_matmul(idx, n_rows, table, chunk=CHUNK):
     return out
 
 
+def onehot_matmul_t(idx, n_rows, table, chunk=CHUNK):
+    """Transposed one-hot lookup: returns rows-as-fields (K, R) directly.
+    The one-hot is built in (P, R) orientation so no relayout of the (R, K)
+    result is ever materialized — each output row is a full-lane (R,) array
+    (geo/soa.py). Above ONEHOT_MAX_ROWS falls back to a row gather + one
+    transpose (the gather itself is row-oriented on TPU)."""
+    r = idx.shape[0]
+    if n_rows > ONEHOT_MAX_ROWS:
+        row = table[jnp.clip(idx, 0, n_rows - 1)].astype(jnp.float32)
+        in_range = (idx >= 0) & (idx < n_rows)
+        return jnp.where(in_range[:, None], row, 0.0).T
+    out = jnp.zeros((table.shape[1], r), jnp.float32)
+    for a in range(0, n_rows, chunk):
+        size = min(chunk, n_rows - a)
+        cols = jnp.arange(a, a + size, dtype=idx.dtype)
+        oh = (cols[:, None] == idx[None, :]).astype(jnp.float32)
+        # HIGHEST precision: DEFAULT runs the MXU in bf16, which rounds
+        # integer-valued table entries above 256 to the wrong value
+        out = out + jnp.dot(table[a:a + size].T, oh,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
 def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
     """Recompute full hit attributes for winning (kind, idx, t) in SoA form
     (o, d and all returned vectors are component tuples; uv is (u, v)):
@@ -266,8 +290,8 @@ def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
     is_s = (kind == KIND_SPHERE)
     planar_slot = jnp.where(kind == KIND_TRIANGLE, n_q + idx, idx)
     planar_slot = jnp.clip(planar_slot, 0, n_pl - 1)
-    ap = onehot_matmul(planar_slot, n_pl, s.pl_attr).T    # (24, R)
-    asp = onehot_matmul(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr).T
+    ap = onehot_matmul_t(planar_slot, n_pl, s.pl_attr)    # (24, R)
+    asp = onehot_matmul_t(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr)
 
     # --- sphere derived (sphere.rs:84-107) ---
     c = (asp[0], asp[1], asp[2])
@@ -431,7 +455,7 @@ def sample_light_direction3(lights: Lights, o, pick, r1, r2):
     from . import rng as _rng
     from ..geo import soa as _s
 
-    la = onehot_matmul(pick, lights.attr.shape[0], lights.attr).T  # (11, R)
+    la = onehot_matmul_t(pick, lights.attr.shape[0], lights.attr)  # (11, R)
     kind = la[0].astype(jnp.int32)
     p0 = (la[1], la[2], la[3])
     p1 = (la[4], la[5], la[6])

@@ -451,8 +451,11 @@ def scene_hit_pallas(solids, media, o, d, u_flights, tmin=1e-3,
     constant-medium event tests. Returns (t, slot); slot >= n_sph+n_pl
     means medium (slot - n_sph - n_pl), -1 means miss (t = INF).
 
-    u_flights: tuple of per-medium (R,) free-flight uniforms."""
-    r = o.shape[0]
+    u_flights: tuple of per-medium (R,) free-flight uniforms.
+    o, d: (R, 3) arrays or SoA component tuples."""
+    oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
+    dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
+    r = oc[0].shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
 
@@ -460,8 +463,8 @@ def scene_hit_pallas(solids, media, o, d, u_flights, tmin=1e-3,
         x = jnp.pad(x, ((0, pad),))
         return x.reshape(n_pad // _LANES, _LANES)
 
-    ox, oy, oz = (prep(o[:, i]) for i in range(3))
-    dx, dy, dz = (prep(d[:, i]) for i in range(3))
+    ox, oy, oz = (prep(c) for c in oc)
+    dx, dy, dz = (prep(c) for c in dc)
     sph, pln = _pack_tables(solids)
     n_sph = sph.shape[0]
     n_pl = pln.shape[0]

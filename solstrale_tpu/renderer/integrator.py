@@ -43,7 +43,7 @@ from ..geo.soa import (dot3, onb_from_w3, onb_local3, reflect3,
                        refract3, unit3, vneg, vscale, where3)
 from ..ops import rng
 from ..ops.intersect import (closest_solid_hit, hit_attributes_soa,
-                             light_pdf_mean3, medium_hit, onehot_matmul,
+                             light_pdf_mean3, medium_hit, onehot_matmul_t,
                              sample_light_direction3)
 from ..scene.compile import (BLEND, DIELECTRIC, DIFFUSE_LIGHT, ISOTROPIC,
                              KIND_MEDIUM, LAMBERTIAN, METAL, CompiledScene)
@@ -55,7 +55,7 @@ _MEDIUM_PURPOSE_BASE = 16  # per-medium free-flight draw purposes
 def mat_row(mats, mat_id):
     """Per-ray material parameters via one-hot matmul (gather-free),
     transposed once so each field is a full-lane (R,) row."""
-    a = onehot_matmul(mat_id, mats.attr.shape[0], mats.attr).T
+    a = onehot_matmul_t(mat_id, mats.attr.shape[0], mats.attr)
     return dict(kind=a[0].astype(jnp.int32),
                 albedo_tex=a[1].astype(jnp.int32),
                 normal_tex=a[2].astype(jnp.int32),
@@ -72,7 +72,7 @@ def sample_texture(tex, tex_id, uv):
     Texture metadata resolves via one-hot; only the final arena pixel fetch
     is a true gather."""
     tid = jnp.maximum(tex_id, 0)
-    ta = onehot_matmul(tid, tex.attr.shape[0], tex.attr).T
+    ta = onehot_matmul_t(tid, tex.attr.shape[0], tex.attr)
     off = ta[0].astype(jnp.int32)
     w = ta[1].astype(jnp.int32)
     h = ta[2].astype(jnp.int32)
@@ -146,8 +146,7 @@ def scene_hit(cs: CompiledScene, o, d, pix, sample, bounce, seed):
                 rng.uniform(pix, sample, bounce, _MEDIUM_PURPOSE_BASE + m_i,
                             seed)
                 for m_i in range(len(cs.media)))
-            return scene_hit_fused(cs, soa.to_aos(o), soa.to_aos(d),
-                                   u_flights, RAY_T_MIN,
+            return scene_hit_fused(cs, o, d, u_flights, RAY_T_MIN,
                                    interpret=_auto_interpret())
         t, kind, idx = closest_solid_hit(cs.solids, soa.to_aos(o),
                                          soa.to_aos(d), RAY_T_MIN, INF)
