@@ -330,9 +330,17 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
     n_top = 2 * n_troots - 1
     n_top_p = (n_top + 7) // 8 * 8
     top = np.zeros((n_top_p, 8), np.float32)
-    # empty boxes (all-padding leaves) keep +inf/-inf -> slab test misses
-    top[:n_top, 0:3] = node_min[:n_top]
-    top[:n_top, 3:6] = node_max[:n_top]
+    # Empty subtrees (all-padding leaves) have inverted +inf/-inf boxes,
+    # which the slab test HITS (near=max(min(+inf,-inf),0)=0 < far=+inf):
+    # store them as a degenerate far-away point box (min==max) instead so
+    # the strict near<far test misses and the walk never descends them.
+    tmin_ = node_min[:n_top].copy()
+    tmax_ = node_max[:n_top].copy()
+    empty = ~(tmin_[:, 0] <= tmax_[:, 0])
+    tmin_[empty] = 1e30
+    tmax_[empty] = 1e30
+    top[:n_top, 0:3] = tmin_
+    top[:n_top, 3:6] = tmax_
     has_spheres = bool(np.asarray(s.sph_valid).any())
 
     # column-block leaf layout for the kernel's (1024 rays, 128 prims)

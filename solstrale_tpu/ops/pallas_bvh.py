@@ -15,6 +15,14 @@ shaped by on-chip microbenchmarks (see PERF.md):
   measured) and uses NO conditionals at all: child/treelet appends are
   unconditional SMEM stores whose queue pointers advance by a predicated
   amount — garbage beyond the final pointers is simply never read.
+- **Packet max-t pruning, refreshed per drain round.** The walk's slab
+  test culls nodes whose entry distance exceeds the packet's worst
+  current best hit (max over valid rays of the per-ray closest t so far,
+  a single SMEM scalar — the packet analogue of the reference's
+  shrinking t-interval, ``bvh.rs:165-180``). Every drain round tightens
+  it, so late treelets behind the packet's closest surfaces are skipped
+  entirely. Rays whose results the caller ignores are flagged invalid in
+  the packed column input so they cannot hold the bound at +inf.
 - **Column-layout treelet drains.** Hit treelets (128 consecutive leaf
   prims) are collected into a list; rounds of up to DB=8 treelets are
   DMA'd from HBM (8 KB blocks, pipelined) and intersected in a
@@ -32,9 +40,13 @@ shaped by on-chip microbenchmarks (see PERF.md):
   round-2 design that held the whole tree + leaf table in VMEM and
   compile-OOM'd at 262k prims.
 
-The best (t, slot) is carried per *lane* in (1024, 128) scratch and reduced
-over lanes once at the end (ties resolve to the smallest slot, matching the
-XLA argmin sweep). Outputs are (R, 1) columns.
+The best (t, slot) is carried per *lane* in (1024, 128) scratch and
+reduced over lanes once in an XLA epilogue (ties resolve to the smallest
+slot, matching the XLA argmin sweep). Winner attributes are NOT emitted
+from the drain: TPU row-gather cost is per-row, flat in field count
+(measured ~1 ms / 131k rows whether 1 or 25 columns), so the integrator's
+single attribute-table fetch is already minimal and extra kernel output
+planes only add HBM traffic.
 
 Leaf data layout (built by ``accel.build_kernel_bvh``): one treelet =
 tr(=16) leaf rows = 128 prims = one (16, 128) f32 block, prims along lanes:
@@ -71,12 +83,15 @@ DB = 8
 # frontier queue capacity: bounded by the top tree's total node count
 FQ = 2 * (1 << TOP_LEVELS) + 2 * FB + 8
 TL_CAP = (1 << (TOP_LEVELS - 1)) + FB + 8
+# rays per pallas_call: full-image callers are chunked so the per-lane
+# best planes stay bounded (~260 MB of HBM intermediates per chunk)
+RAY_CHUNK = 131072
 
 
 def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
                 nodes_ref, rows_hbm, out_t_ref, out_s_ref,
-                fq_ref, tl_ref, bt_ref, bs_ref, tile_ref, sems,
-                smem_nodes, nsem,
+                fq_ref, tl_ref, bt_ref, bs_ref,
+                tile_ref, sems, smem_nodes, pt_ref, nsem,
                 *, n_troots, tr, leaf_size):
     # a treelet = tr leaf rows = tr*leaf_size prims, stored as nbt
     # (16, 128) field-row blocks (prims along lanes, zero-padded)
@@ -94,6 +109,9 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     bt_ref[...] = jnp.full((BLOCK, _LANES), INF, jnp.float32)
     bs_ref[...] = jnp.full((BLOCK, _LANES), -1.0, jnp.float32)
     fq_ref[0] = jnp.int32(0)
+    # packet max-t bound: worst current best hit over the packet's valid
+    # rays; +inf until every valid ray has some hit, then tightening
+    pt_ref[0] = jnp.float32(INF)
 
     # The top-tree node table lives in SMEM — the scalar core's native
     # memory — DMA'd from HBM once on the first grid step (scratch persists
@@ -107,18 +125,35 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     def node_f(n, f):
         return smem_nodes[n * 8 + f]
 
+    # packet mean direction (scalars): orders each pushed child pair
+    # near-first along the dominant ray direction, so drains tighten the
+    # packet max-t bound as early as possible (bvh.rs:165-180 visits
+    # left-first; a packet gets the same effect only with an explicit
+    # front-to-back ordering)
+    sx = jnp.sum(d[0])
+    sy = jnp.sum(d[1])
+    sz = jnp.sum(d[2])
+    last_node = jnp.int32(2 * n_troots - 2)
+
+    def box_proj(n):
+        """Projection of a node's box center onto the packet direction."""
+        return (sx * (node_f(n, 0) + node_f(n, 3))
+                + sy * (node_f(n, 1) + node_f(n, 4))
+                + sz * (node_f(n, 2) + node_f(n, 5)))
+
     # column-layout ray components, (1024, 1) lane slices of the packed
-    # (1024, 8) [o | d | tmin | pad] input
+    # (1024, 8) [o | d | tmin | valid] input
     cols = cols_ref[...]
     om = (cols[:, 0:1], cols[:, 1:2], cols[:, 2:3])
     dm = (cols[:, 3:4], cols[:, 4:5], cols[:, 5:6])
     tmin = cols[:, 6:7]
+    vcol = cols[:, 7:8]
 
     def _intersect_block(base):
         """Intersect all 128 prims of the (16, 128) field block at tile row
         ``base`` against the whole packet in one (1024, 128) column domain:
         ray components are (1024, 1), prim fields (1, 128), every op a full
-        broadcast. Updates the per-lane best (t, slot)."""
+        broadcast. Updates the per-lane best (t, slot, u, v)."""
         # field rows follow the unified planar-table column order:
         # 0-2 n | 3 d | 4-6 g1 | 7 g1o | 8-10 g2 | 11 g2o | 12 is_tri |
         # 13 valid | 14 slot
@@ -160,9 +195,32 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     def drain_round(td, tt):
         """Fetch + intersect up to DB pending treelets (entries td..tt-1).
         Per-entry predication uses matched pl.when pairs around DMA start
-        and wait — identical conditions, so semaphores stay balanced."""
+        and wait — identical conditions, so semaphores stay balanced.
+
+        Each treelet's box is re-tested against the CURRENT packet max-t
+        bound before its DMA is even issued: a treelet enqueued early may
+        sit entirely behind surfaces found by later drains, and this
+        second look (8 batched slab tests, ~350 cycles) skips both its
+        fetch and its ~3.5k-cycle intersect."""
+        ptm = pt_ref[0]
+        live = []
         for k in range(DB):
-            @pl.when(td + k < tt)
+            tnode = tl_ref[jnp.minimum(td + k, tt - 1)] \
+                + jnp.int32(n_troots - 1)
+            t0 = (node_f(tnode, 0) - o[0]) * invx
+            t1 = (node_f(tnode, 3) - o[0]) * invx
+            near = jnp.minimum(t0, t1)
+            t0 = (node_f(tnode, 1) - o[1]) * invy
+            t1 = (node_f(tnode, 4) - o[1]) * invy
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            t0 = (node_f(tnode, 2) - o[2]) * invz
+            t1 = (node_f(tnode, 5) - o[2]) * invz
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            near = jnp.maximum(near, 0.0)
+            anyk = jnp.max((near < ptm).astype(jnp.int32))
+            live.append((td + k < tt) & (anyk > 0))
+        for k in range(DB):
+            @pl.when(live[k])
             def _(k=k):
                 t = tl_ref[td + k]
                 pltpu.make_async_copy(
@@ -170,7 +228,7 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
                     tile_ref.at[pl.ds(k * brows, brows), :],
                     sems.at[k]).start()
         for k in range(DB):
-            @pl.when(td + k < tt)
+            @pl.when(live[k])
             def _(k=k):
                 t = tl_ref[td + k]
                 pltpu.make_async_copy(
@@ -179,10 +237,16 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
                     sems.at[k]).wait()
                 for b in range(nbt):
                     _intersect_block(k * brows + b * 16)
+        # refresh the packet max-t bound from the tightened per-lane best:
+        # rays the caller ignores (valid=0) must not hold it at +inf
+        per_ray = jnp.min(bt_ref[...], axis=1, keepdims=True)
+        pt_ref[0] = jnp.max(jnp.where(vcol > 0.5, per_ray,
+                                      jnp.float32(-INF)))
 
     def body(carry):
         fh, ft, td, tt = carry
         B = jnp.clip(ft - fh, 0, FB)
+        ptmax = pt_ref[0]
         # --- branchless walk step: FB clamped slab tests ---
         nodes = []
         anyh = []
@@ -202,8 +266,10 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             near = jnp.maximum(near, jnp.minimum(t0, t1))
             far = jnp.minimum(far, jnp.maximum(t0, t1))
             near = jnp.maximum(near, 0.0)
-            # non-empty interval, strict, like Aabb::hit
-            anyh.append(jnp.max(((near < far)).astype(jnp.int32)))
+            # non-empty interval (strict, like Aabb::hit) that can still
+            # beat the packet's worst current best hit
+            anyh.append(jnp.max(((near < far)
+                                 & (near < ptmax)).astype(jnp.int32)))
         # --- unconditional appends; pointers advance only for real hits ---
         ft2 = ft
         tt2 = tt
@@ -213,8 +279,15 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             is_troot = (node >= jnp.int32(n_troots - 1)).astype(jnp.int32)
             push = hit_c * (1 - is_troot)
             enq = hit_c * is_troot
-            fq_ref[ft2] = 2 * node + 1
-            fq_ref[ft2 + 1] = 2 * node + 2
+            # near child first (clamped loads: a treelet root's 'children'
+            # ids fall outside the top tree; its push count is 0 so the
+            # garbage ordering is never consumed)
+            n1 = 2 * node + 1
+            p1 = box_proj(jnp.minimum(n1, last_node))
+            p2 = box_proj(jnp.minimum(n1 + 1, last_node))
+            sw = (p2 < p1).astype(jnp.int32)
+            fq_ref[ft2] = n1 + sw
+            fq_ref[ft2 + 1] = n1 + 1 - sw
             tl_ref[tt2] = node - jnp.int32(n_troots - 1)
             ft2 = ft2 + 2 * push
             tt2 = tt2 + enq
@@ -243,15 +316,9 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     out_s_ref[...] = bs_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
-    """Closest planar hit via packet BVH traversal. Returns (t, slot) with
-    slot an index into the unified planar table (Solids.pl_*), -1 on miss
-    (t = INF)."""
-    # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
-    # form — avoids column extracts on the hot path)
-    oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
-    dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
+def _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret):
+    """One pallas_call over <= RAY_CHUNK rays + its XLA lane-reduction
+    epilogue. Returns (t, slot, u, v) of length r."""
     r = oc[0].shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
@@ -262,9 +329,7 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
 
     ox, oy, oz = (prep_row(c) for c in oc)
     dx, dy, dz = (prep_row(c) for c in dc)
-    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    cols = jnp.stack(list(oc) + list(dc)
-                     + [tminb, jnp.zeros((r,), jnp.float32)], axis=1)
+    cols = jnp.stack(list(oc) + list(dc) + [tminb, validb], axis=1)
     cols = jnp.pad(cols, ((0, pad), (0, 0)))
 
     grid = (n_pad // BLOCK,)
@@ -296,6 +361,7 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
                         pltpu.SMEM((kbvh.top_nodes.shape[0]
                                     * kbvh.top_nodes.shape[1],),
                                    jnp.float32),
+                        pltpu.SMEM((1,), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )(ox, oy, oz, dx, dy, dz, cols, kbvh.top_nodes.reshape(-1),
@@ -309,6 +375,35 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     return t[:r], sl[:r].astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
+    """Closest planar hit via packet BVH traversal. Returns (t, slot) with
+    slot an index into the unified planar table (Solids.pl_*), -1 on miss
+    (t = INF)."""
+    # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
+    # form — avoids column extracts on the hot path)
+    oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
+    dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
+    r = oc[0].shape[0]
+    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    # a ray is 'valid' for the packet max-t bound iff it can have a
+    # consumer: zero-direction rays (padding / parked lanes) cannot
+    validb = ((dc[0] != 0.0) | (dc[1] != 0.0)
+              | (dc[2] != 0.0)).astype(jnp.float32)
+
+    if r <= RAY_CHUNK:
+        return _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret)
+    parts = [
+        _bvh_chunk(kbvh,
+                   tuple(c[a:a + RAY_CHUNK] for c in oc),
+                   tuple(c[a:a + RAY_CHUNK] for c in dc),
+                   tminb[a:a + RAY_CHUNK], validb[a:a + RAY_CHUNK],
+                   interpret)
+        for a in range(0, r, RAY_CHUNK)
+    ]
+    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(2))
+
+
 def bvh_closest_hit_pallas(kbvh, solids, o, d, tmin, tmax, interpret=False):
     """Drop-in for ops.intersect.closest_solid_hit on BVH scenes: packet
     BVH over planar prims + brute sphere sweep, min-combined.
@@ -316,7 +411,8 @@ def bvh_closest_hit_pallas(kbvh, solids, o, d, tmin, tmax, interpret=False):
     from ..scene.compile import KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE
     from .pallas_sweep import closest_hit_pallas
 
-    t_p, pslot = bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=interpret)
+    t_p, pslot = bvh_planar_hit_pallas(kbvh, o, d, tmin,
+                                       interpret=interpret)
     pslot_c = jnp.clip(pslot, 0, solids.pl_idx.shape[0] - 1)
     kind_p = jnp.where(solids.pl_is_tri[pslot_c], KIND_TRIANGLE,
                        KIND_QUAD).astype(jnp.int32)
