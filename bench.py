@@ -45,6 +45,10 @@ def _measure(cs, width, height, spp, max_depth):
     checksum, segs = run(jnp.int32(1))
     checksum = float(checksum)
     dt = time.perf_counter() - t0
+    # a black frame means the workload degenerated (e.g. camera facing an
+    # unlit backface) — refuse to report a meaningless throughput
+    if not checksum > 0:
+        raise RuntimeError(f"degenerate render: checksum={checksum}")
 
     # Rays/s counts actual path segments traced (primary + bounce rays),
     # the standard Mrays metric; the integrator counts them exactly.

@@ -26,6 +26,10 @@ CHUNK = 2048
 # small; beyond this row count fall back to an XLA gather
 ONEHOT_MAX_ROWS = 8192
 
+# light_pdf_mean3 statically unrolls its light loop (full-lane SoA ops);
+# above this the vectorized (R, L) form wins on HLO size / compile time
+_MEAN3_UNROLL_MAX = 16
+
 
 def _contains(t, tmin, tmax):
     return (t >= tmin) & (t <= tmax)
@@ -382,9 +386,16 @@ def light_pdf_mean3(lights: Lights, o, d):
     Per-light semantics exactly mirror light_pdf_values: sphere ->
     1/solid-angle gated on a self re-intersection (sphere.rs:40-56),
     quad/tri -> dist^2/(cos*area) (quad.rs:132-143); NaNs propagate
-    identically (suppressed later by the shader's NaN filter)."""
+    identically (suppressed later by the shader's NaN filter).
+
+    The static unroll scales HLO size/compile time linearly with light
+    count; above _MEAN3_UNROLL_MAX lights fall back to the vectorized
+    (R, L) sweep (same math, batched)."""
     tmin, tmax = RAY_T_MIN, INF
     n_l = lights.kind.shape[0]
+    if n_l > _MEAN3_UNROLL_MAX:
+        return jnp.mean(light_pdf_values(lights, soa.to_aos(o),
+                                         soa.to_aos(d)), axis=1)
     dd = soa.dot3(d, d)
     acc = jnp.zeros_like(o[0])
     for i in range(n_l):

@@ -87,6 +87,17 @@ TL_CAP = (1 << (TOP_LEVELS - 1)) + FB + 8
 # best planes stay bounded (~260 MB of HBM intermediates per chunk)
 RAY_CHUNK = 131072
 
+# drain ray-row window: WIN consecutive sorted rays; N_WIN windows per
+# packet, window id N_WIN = whole packet
+WIN = 128
+N_WIN = BLOCK // WIN
+
+# trace-time ablation knobs for tools/ microbenches (jax.clear_caches()
+# after flipping): skip the drain intersects / the treelet DMAs entirely
+# to attribute kernel time between walk, DMA and intersect work
+_DEBUG_SKIP_INTERSECT = False
+_DEBUG_SKIP_DMA = False
+
 
 def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
                 nodes_ref, rows_hbm, out_t_ref, out_s_ref,
@@ -109,9 +120,6 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     bt_ref[...] = jnp.full((BLOCK, _LANES), INF, jnp.float32)
     bs_ref[...] = jnp.full((BLOCK, _LANES), -1.0, jnp.float32)
     fq_ref[0] = jnp.int32(0)
-    # packet max-t bound: worst current best hit over the packet's valid
-    # rays; +inf until every valid ray has some hit, then tightening
-    pt_ref[0] = jnp.float32(INF)
 
     # The top-tree node table lives in SMEM — the scalar core's native
     # memory — DMA'd from HBM once on the first grid step (scratch persists
@@ -149,11 +157,55 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     tmin = cols[:, 6:7]
     vcol = cols[:, 7:8]
 
-    def _intersect_block(base):
+    # Per-ray FAR bound: the ray's exit distance from the root box. No
+    # primitive lies beyond it, so a ray that will MISS everything still
+    # contributes a finite value to the packet max-t bound — without this,
+    # one escaping ray pins the bound at +inf and disables pruning for its
+    # whole packet (exactly the open-interior case). Rays outside the box
+    # moving away get 0 and constrain nothing.
+    def root_far():
+        fr = None
+        for ax in range(3):
+            invc = 1.0 / dm[ax]
+            t0 = (node_f(0, ax) - om[ax]) * invc
+            t1 = (node_f(0, 3 + ax) - om[ax]) * invc
+            far = jnp.maximum(t0, t1)
+            fr = far if fr is None else jnp.minimum(fr, far)
+        # NaN (zero-direction padding rays) must not poison the packet
+        # max: treat as 0 (they are also valid=0-gated)
+        fr = jnp.where(fr == fr, fr, 0.0)
+        return jnp.maximum(fr, 0.0)
+
+    froot = root_far()
+    # packet max-t bound: worst current reachable-t over valid rays,
+    # active from the first walk step thanks to the far bound
+    pt_ref[0] = jnp.max(jnp.where(vcol > 0.5, froot, 0.0))
+
+    def _intersect_block(base, wstart, wsize):
         """Intersect all 128 prims of the (16, 128) field block at tile row
-        ``base`` against the whole packet in one (1024, 128) column domain:
-        ray components are (1024, 1), prim fields (1, 128), every op a full
-        broadcast. Updates the per-lane best (t, slot, u, v)."""
+        ``base`` against the ray-row window [wstart, wstart+wsize) in one
+        (wsize, 128) column domain: ray components are (wsize, 1), prim
+        fields (1, 128), every op a full broadcast. Updates the window's
+        slice of the per-lane best (t, slot).
+
+        wstart/wsize are STATIC (one of the N_WIN fixed stripes): the
+        drain statically unrolls all stripes and predicates each on the
+        treelet's [wlo, whi] row range recorded by the walk. With sorted
+        rays the range is narrow, so most treelets run 1 stripe — a
+        quarter of the packet's vector work."""
+        if _DEBUG_SKIP_INTERSECT:
+            return
+
+        def rows(ref):
+            return ref[wstart:wstart + wsize, :]
+
+        def setrows(ref, v):
+            ref[wstart:wstart + wsize, :] = v
+
+        colw = rows(cols_ref)
+        omw = (colw[:, 0:1], colw[:, 1:2], colw[:, 2:3])
+        dmw = (colw[:, 3:4], colw[:, 4:5], colw[:, 5:6])
+        tminw = colw[:, 6:7]
         # field rows follow the unified planar-table column order:
         # 0-2 n | 3 d | 4-6 g1 | 7 g1o | 8-10 g2 | 11 g2o | 12 is_tri |
         # 13 valid | 14 slot
@@ -172,25 +224,26 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
         istri = tile_ref[pl.ds(base + 12, 1), :]
         valid = tile_ref[pl.ds(base + 13, 1), :]
         slotv = tile_ref[pl.ds(base + 14, 1), :]
-        # (1024,1) x (1,128) broadcasts: full-f32 dot products
-        on = om[0] * n0 + om[1] * n1 + om[2] * n2
-        dn = dm[0] * n0 + dm[1] * n1 + dm[2] * n2
-        og1 = om[0] * g10 + om[1] * g11 + om[2] * g12
-        dg1 = dm[0] * g10 + dm[1] * g11 + dm[2] * g12
-        og2 = om[0] * g20 + om[1] * g21 + om[2] * g22
-        dg2 = dm[0] * g20 + dm[1] * g21 + dm[2] * g22
+        # (wsize,1) x (1,128) broadcasts: full-f32 dot products
+        on = omw[0] * n0 + omw[1] * n1 + omw[2] * n2
+        dn = dmw[0] * n0 + dmw[1] * n1 + dmw[2] * n2
+        og1 = omw[0] * g10 + omw[1] * g11 + omw[2] * g12
+        dg1 = dmw[0] * g10 + dmw[1] * g11 + dmw[2] * g12
+        og2 = omw[0] * g20 + omw[1] * g21 + omw[2] * g22
+        dg2 = dmw[0] * g20 + dmw[1] * g21 + dmw[2] * g22
         t_ = (dpl - on) / dn
         u = og1 + t_ * dg1 + g1o
         v = og2 + t_ * dg2 + g2o
         tri = istri > 0.5
         base_ok = (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
         contain = base_ok & ((tri & (u + v <= 1.0)) | (~tri & (v <= 1.0)))
-        bt = bt_ref[...]
+        bt = rows(bt_ref)
         ok = ((jnp.abs(dn) >= ALMOST_ZERO) & (valid > 0.5) & contain
-              & (t_ >= tmin) & (t_ < bt))
-        bt_ref[...] = jnp.where(ok, t_, bt)
-        bs_ref[...] = jnp.where(
-            ok, slotv + jnp.zeros((BLOCK, _LANES), jnp.float32), bs_ref[...])
+              & (t_ >= tminw) & (t_ < bt))
+        setrows(bt_ref, jnp.where(ok, t_, bt))
+        setrows(bs_ref, jnp.where(
+            ok, slotv + jnp.zeros((wsize, _LANES), jnp.float32),
+            rows(bs_ref)))
 
     def drain_round(td, tt):
         """Fetch + intersect up to DB pending treelets (entries td..tt-1).
@@ -205,7 +258,7 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
         ptm = pt_ref[0]
         live = []
         for k in range(DB):
-            tnode = tl_ref[jnp.minimum(td + k, tt - 1)] \
+            tnode = (tl_ref[jnp.minimum(td + k, tt - 1)] & 0xFFFF) \
                 + jnp.int32(n_troots - 1)
             t0 = (node_f(tnode, 0) - o[0]) * invx
             t1 = (node_f(tnode, 3) - o[0]) * invx
@@ -219,29 +272,46 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             near = jnp.maximum(near, 0.0)
             anyk = jnp.max((near < ptm).astype(jnp.int32))
             live.append((td + k < tt) & (anyk > 0))
-        for k in range(DB):
-            @pl.when(live[k])
-            def _(k=k):
-                t = tl_ref[td + k]
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(t * brows, brows), :],
-                    tile_ref.at[pl.ds(k * brows, brows), :],
-                    sems.at[k]).start()
-        for k in range(DB):
-            @pl.when(live[k])
-            def _(k=k):
-                t = tl_ref[td + k]
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(t * brows, brows), :],
-                    tile_ref.at[pl.ds(k * brows, brows), :],
-                    sems.at[k]).wait()
-                for b in range(nbt):
-                    _intersect_block(k * brows + b * 16)
-        # refresh the packet max-t bound from the tightened per-lane best:
-        # rays the caller ignores (valid=0) must not hold it at +inf
-        per_ray = jnp.min(bt_ref[...], axis=1, keepdims=True)
+        if not _DEBUG_SKIP_DMA:
+            for k in range(DB):
+                @pl.when(live[k])
+                def _(k=k):
+                    t = tl_ref[td + k] & 0xFFFF
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(t * brows, brows), :],
+                        tile_ref.at[pl.ds(k * brows, brows), :],
+                        sems.at[k]).start()
+            for k in range(DB):
+                @pl.when(live[k])
+                def _(k=k):
+                    packed = tl_ref[td + k]
+                    t = packed & 0xFFFF
+                    wlo = (packed >> 16) & 0xF
+                    whi = packed >> 20
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(t * brows, brows), :],
+                        tile_ref.at[pl.ds(k * brows, brows), :],
+                        sems.at[k]).wait()
+                    for w in range(N_WIN):
+                        @pl.when((wlo <= w) & (w <= whi))
+                        def _(w=w):
+                            for b in range(nbt):
+                                _intersect_block(k * brows + b * 16,
+                                                 w * WIN, WIN)
+        # refresh the packet max-t bound from the tightened per-lane best
+        # (still capped by each ray's root-box exit); rays the caller
+        # ignores (valid=0) must not hold it up
+        per_ray = jnp.minimum(jnp.min(bt_ref[...], axis=1, keepdims=True),
+                              froot)
         pt_ref[0] = jnp.max(jnp.where(vcol > 0.5, per_ray,
                                       jnp.float32(-INF)))
+
+    # flat ray index of each (sublane, lane) position in the walk domain —
+    # identical to the drain's packed-column row index
+    ridx = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK // _LANES, _LANES), 0)
+            * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32,
+                                       (BLOCK // _LANES, _LANES), 1))
 
     def body(carry):
         fh, ft, td, tt = carry
@@ -250,6 +320,7 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
         # --- branchless walk step: FB clamped slab tests ---
         nodes = []
         anyh = []
+        wins = []
         for c in range(FB):
             node = fq_ref[jnp.minimum(fh + c, ft - 1)]
             nodes.append(node)
@@ -268,8 +339,14 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             near = jnp.maximum(near, 0.0)
             # non-empty interval (strict, like Aabb::hit) that can still
             # beat the packet's worst current best hit
-            anyh.append(jnp.max(((near < far)
-                                 & (near < ptmax)).astype(jnp.int32)))
+            mask = (near < far) & (near < ptmax)
+            anyh.append(jnp.max(mask.astype(jnp.int32)))
+            # contiguous ray-row stripe range of the hitting rays (rays
+            # are coherence-sorted, so the run is narrow): the drain runs
+            # exactly the stripes [wlo, whi]
+            lo = jnp.min(jnp.where(mask, ridx, jnp.int32(BLOCK - 1)))
+            hi = jnp.max(jnp.where(mask, ridx, jnp.int32(0)))
+            wins.append((lo // WIN) | ((hi // WIN) << 4))
         # --- unconditional appends; pointers advance only for real hits ---
         ft2 = ft
         tt2 = tt
@@ -288,7 +365,8 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             sw = (p2 < p1).astype(jnp.int32)
             fq_ref[ft2] = n1 + sw
             fq_ref[ft2 + 1] = n1 + 1 - sw
-            tl_ref[tt2] = node - jnp.int32(n_troots - 1)
+            tl_ref[tt2] = (node - jnp.int32(n_troots - 1)
+                           + (wins[c] << 16))  # wlo@16, whi@20
             ft2 = ft2 + 2 * push
             tt2 = tt2 + enq
         fh2 = fh + B
@@ -375,33 +453,105 @@ def _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret):
     return t[:r], sl[:r].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spread4(v):
+    """Interleave the low 4 bits of v with two zero bits (Morton):
+    bit i moves to bit 3i."""
+    v = (v | (v << 4)) & jnp.int32(0x0C3)
+    v = (v | (v << 2)) & jnp.int32(0x249)
+    return v
+
+
+def _ray_sort_key(kbvh, oc, dc, validb):
+    """Packet-coherence sort key: origin Morton cell (4 bits/axis over the
+    scene root box) then direction octant. Rays sharing a cell+octant form
+    a narrow frustum whose treelet working set is small — the difference
+    between ~5 ms and ~250 ms per 131k-ray launch on divergent interior
+    bounces (measured). Parked rays (zero direction) key to the end so
+    they compact into all-dead packets the kernel skips outright."""
+    rootmin = kbvh.top_nodes[0, 0:3]
+    rootmax = kbvh.top_nodes[0, 3:6]
+    m = jnp.int32(0)
+    for i in range(3):
+        ext = jnp.maximum(rootmax[i] - rootmin[i], 1e-6)
+        q = jnp.clip((oc[i] - rootmin[i]) / ext * 16.0, 0.0, 15.0) \
+            .astype(jnp.int32)
+        m = m | (_spread4(q) << (2 - i))
+    octant = ((dc[0] < 0).astype(jnp.int32) * 4
+              + (dc[1] < 0).astype(jnp.int32) * 2
+              + (dc[2] < 0).astype(jnp.int32))
+    import os
+
+    if os.environ.get("SOLSTRALE_SORT_OCTANT_MAJOR", "0") == "1":
+        key = (octant << 12) | m
+    else:
+        key = (m << 3) | octant
+    return jnp.where(validb > 0.0, key, jnp.int32(1 << 30))
+
+
+def _ray_sort_enabled():
+    import os
+
+    return os.environ.get("SOLSTRALE_RAYSORT", "1") != "0"
+
+
 def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     """Closest planar hit via packet BVH traversal. Returns (t, slot) with
     slot an index into the unified planar table (Solids.pl_*), -1 on miss
-    (t = INF)."""
+    (t = INF).
+
+    Large wavefronts are re-ordered by a (origin-cell, direction-octant)
+    key before packetization and the results inverse-permuted — pure
+    arithmetic + one sort, bit-identical results, and the packet working
+    sets stay narrow even for fully divergent bounce wavefronts."""
+    # the sort flag must resolve OUTSIDE jit (env reads inside a jitted
+    # function are baked into the first-traced program)
+    return _bvh_planar_hit(kbvh, o, d, tmin, interpret=interpret,
+                           sort=_ray_sort_enabled())
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
+def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort):
     # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
     # form — avoids column extracts on the hot path)
     oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
     dc = d if isinstance(d, tuple) else (d[:, 0], d[:, 1], d[:, 2])
     r = oc[0].shape[0]
-    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     # a ray is 'valid' for the packet max-t bound iff it can have a
     # consumer: zero-direction rays (padding / parked lanes) cannot
     validb = ((dc[0] != 0.0) | (dc[1] != 0.0)
               | (dc[2] != 0.0)).astype(jnp.float32)
 
+    order = None
+    if r >= 4 * BLOCK and sort:
+        key = _ray_sort_key(kbvh, oc, dc, validb)
+        order = jnp.argsort(key)
+        oc = tuple(c[order] for c in oc)
+        dc = tuple(c[order] for c in dc)
+        # recompute the cheap derived arrays instead of permuting them
+        validb = ((dc[0] != 0.0) | (dc[1] != 0.0)
+                  | (dc[2] != 0.0)).astype(jnp.float32)
+    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    if order is not None and jnp.ndim(tmin):
+        tminb = tminb[order]
+
     if r <= RAY_CHUNK:
-        return _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret)
-    parts = [
-        _bvh_chunk(kbvh,
-                   tuple(c[a:a + RAY_CHUNK] for c in oc),
-                   tuple(c[a:a + RAY_CHUNK] for c in dc),
-                   tminb[a:a + RAY_CHUNK], validb[a:a + RAY_CHUNK],
-                   interpret)
-        for a in range(0, r, RAY_CHUNK)
-    ]
-    return tuple(jnp.concatenate([p[k] for p in parts]) for k in range(2))
+        t, sl = _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret)
+    else:
+        parts = [
+            _bvh_chunk(kbvh,
+                       tuple(c[a:a + RAY_CHUNK] for c in oc),
+                       tuple(c[a:a + RAY_CHUNK] for c in dc),
+                       tminb[a:a + RAY_CHUNK], validb[a:a + RAY_CHUNK],
+                       interpret)
+            for a in range(0, r, RAY_CHUNK)
+        ]
+        t, sl = (jnp.concatenate([p[k] for p in parts]) for k in range(2))
+    if order is not None:
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(r, dtype=order.dtype))
+        t = t[inv]
+        sl = sl[inv]
+    return t, sl
 
 
 def bvh_closest_hit_pallas(kbvh, solids, o, d, tmin, tmax, interpret=False):

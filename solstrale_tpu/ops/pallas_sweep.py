@@ -63,6 +63,21 @@ def _sweep_kernel(ox, oy, oz, dx, dy, dz, tmin_ref, tmax_ref,
     od = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
     oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
+    # blocks whose every lane is parked (zero direction — the work-queue
+    # drain tail) skip the whole sweep: outputs pre-set to miss
+    out_t[...] = jnp.full_like(tmax, INF)
+    out_slot[...] = jnp.full(tmax.shape, -1, jnp.int32)
+    alive = jnp.max((dd > 0.0).astype(jnp.int32))
+
+    @pl.when(alive > 0)
+    def _sweep():
+        _sweep_live(o, d, tmin, tmax, dd, od, oo, sph_ref, pl_ref,
+                    out_t, out_slot, n_sph=n_sph, n_pl=n_pl)
+
+
+def _sweep_live(o, d, tmin, tmax, dd, od, oo, sph_ref, pl_ref,
+                out_t, out_slot, *, n_sph, n_pl):
+
     best_t = jnp.full_like(tmax, INF)
     # slot carried as f32: Mosaic cannot legalize int-vector selects with
     # scalar operands on all generations
@@ -218,6 +233,19 @@ def _medium_kernel(ox, oy, oz, dx, dy, dz, tsol_ref, u_ref, sph_ref, pl_ref,
     od = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
     oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
+    # all-parked blocks (zero directions, queue drain tail) skip the sweeps
+    out_t[...] = jnp.full_like(t_solid, INF)
+    alive = jnp.max((dd > 0.0).astype(jnp.int32))
+
+    @pl.when(alive > 0)
+    def _medium_live():
+        _medium_body(o, d, t_solid, u, neg_inv_density, dd, od, oo,
+                     sph_ref, pl_ref, out_t, n_sph=n_sph, n_pl=n_pl)
+
+
+def _medium_body(o, d, t_solid, u, neg_inv_density, dd, od, oo,
+                 sph_ref, pl_ref, out_t, *, n_sph, n_pl):
+
     def closest(lo):
         best = jnp.full_like(t_solid, INF)
 
@@ -346,6 +374,21 @@ def _scene_hit_kernel(ox, oy, oz, dx, dy, dz, *rest, n_sph, n_pl, media_np,
     od = o[0] * d[0] + o[1] * d[1] + o[2] * d[2]
     oo = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
 
+    # all-parked blocks (zero directions, queue drain tail) skip everything
+    out_t[...] = jnp.full_like(dd, INF)
+    out_slot[...] = jnp.full(dd.shape, -1, jnp.int32)
+    alive = jnp.max((dd > 0.0).astype(jnp.int32))
+
+    @pl.when(alive > 0)
+    def _scene_live():
+        _scene_hit_body(o, d, dd, od, oo, u_refs, sph_ref, pl_ref,
+                        med_tabs, nid_ref, out_t, out_slot, n_sph=n_sph,
+                        n_pl=n_pl, media_np=media_np, tmin=tmin)
+
+
+def _scene_hit_body(o, d, dd, od, oo, u_refs, sph_ref, pl_ref, med_tabs,
+                    nid_ref, out_t, out_slot, *, n_sph, n_pl, media_np,
+                    tmin):
     def sweep(sph_t, pl_t, ns, np_, lo, hi, best0, slot0, with_slot,
               slot_base):
         def sph_body(p, carry):
@@ -411,8 +454,6 @@ def _scene_hit_kernel(ox, oy, oz, dx, dy, dz, *rest, n_sph, n_pl, media_np,
         sph_ref, pl_ref, n_sph, n_pl, jnp.full_like(dd, tmin), inf_hi,
         jnp.full_like(dd, INF), jnp.full(dd.shape, -1.0, jnp.float32),
         True, jnp.int32(0))
-    # clamp to tmax semantics (tmax = INF in scene_hit; kept for parity)
-    del tmax
 
     r_len = jnp.sqrt(dd)
     for m_i, (msph_n, mpl_n) in enumerate(media_np):

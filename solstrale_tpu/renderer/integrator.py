@@ -186,11 +186,6 @@ def full_hit_attributes(cs, o, d, t, kind, idx, pix, sample, bounce, seed):
     return attrs
 
 
-def _filter_invalid(col):
-    """NaN→0, channel clamp ≤3 (shader.rs:109-125)."""
-    return jnp.where(jnp.isnan(col), 0.0, jnp.minimum(col, 3.0))
-
-
 # --- forward clamp-fold state (see module docstring) -----------------------
 #
 # Per-lane, per-channel state (A, B, dead) + per-lane outer_pdf flag; colors
@@ -611,7 +606,8 @@ def render_sample(cs: CompiledScene, sample, seed, *, width, height,
 
 
 def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
-                 *, width, height, max_depth, lanes=None, n_valid=None):
+                 *, width, height, max_depth, lanes=None, n_valid=None,
+                 stats=False):
     """Work-queue wavefront: a fixed pool of lanes drains the global
     (pixel, sample) queue. When paths terminate, the terminating lanes claim
     the next assignments in pixel-major order (rank via cumsum); terminated
@@ -696,8 +692,11 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         return tuple(o), tuple(d)
 
     qpos0 = jnp.arange(lanes, dtype=jnp.int32)
-    pixel0, pslot0, sample0 = assignment(qpos0)
+    pixel0, pslot0, sample0 = assignment(jnp.minimum(qpos0, total_q - 1))
     o0, d0 = cam_rays(pixel0, sample0)
+    # lanes beyond the queue (short sharded queues) start parked: zero
+    # direction so intersection kernels skip them (see parked note below)
+    d0 = tuple(jnp.where(qpos0 >= total_q, 0.0, c) for c in d0)
 
     state = dict(
         qpos=qpos0,                    # queue position per lane
@@ -709,6 +708,7 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         # per-channel accumulators: full-lane (n_pix,) planes (geo/soa.py)
         accum=tuple(jnp.zeros((n_pix,), jnp.float32) for _ in range(3)),
         segments=jnp.float32(0.0),
+        iters=jnp.int32(0),
     )
 
     def cond(state):
@@ -770,6 +770,14 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
         npixel, _, nsample = assignment(jnp.minimum(new_qpos, total_q - 1))
         o_new, d_new = cam_rays(npixel, nsample)
+        # Parked lanes (queue exhausted) get a ZERO direction instead of a
+        # duplicate pixel's real ray: the BVH/sweep kernels then reject them
+        # at the first slab test (1/0 -> inf/NaN comparisons) so the drain
+        # tail — up to max_depth iterations in which only the few deepest
+        # paths are still alive — costs ~nothing per dead lane instead of a
+        # full traversal whose result is discarded.
+        parked = new_qpos >= total_q
+        d_new = tuple(jnp.where(parked, 0.0, c) for c in d_new)
         o2 = where3(terminal, o_new, where3(scat, attrs["point"], o))
         d2 = where3(terminal, d_new, where3(scat, sc["new_dir"], d))
         bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))
@@ -779,9 +787,13 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         return dict(qpos=new_qpos, bounce=bounce2, o=o2, d=d2,
                     acc_len=acc2, fold=fold, next_q=next_q, accum=accum,
                     segments=state["segments"]
-                    + jnp.sum(active.astype(jnp.float32)))
+                    + jnp.sum(active.astype(jnp.float32)),
+                    iters=state["iters"] + 1)
 
     state = jax.lax.while_loop(cond, body, state)
+    if stats:
+        return (soa.to_aos(state["accum"]), state["segments"],
+                state["iters"])
     return soa.to_aos(state["accum"]), state["segments"]
 
 
@@ -877,6 +889,10 @@ def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
         # --- regenerate terminal lanes / advance scattering lanes ---
         new_sample = jnp.where(terminal, sample + 1, sample)
         o_new, d_new = cam_rays(new_sample)
+        # lanes whose sample budget is spent park with a zero direction so
+        # the intersection kernels skip them (slab test 1/0 -> NaN -> miss)
+        d_new = tuple(jnp.where(new_sample >= sample_end, 0.0, c)
+                      for c in d_new)
         o2 = where3(terminal, o_new, where3(scat, attrs["point"], o))
         d2 = where3(terminal, d_new, where3(scat, sc["new_dir"], d))
         bounce2 = jnp.where(terminal, 0, jnp.where(scat, bounce + 1, bounce))

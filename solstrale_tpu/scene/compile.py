@@ -559,7 +559,13 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     """Flatten a Scene into a CompiledScene of device arrays.
 
     use_bvh: None = auto (build LBVH when the solid count exceeds
-    BVH_THRESHOLD), True/False = force.
+    BVH_THRESHOLD), True/False = force, "device" = force AND build the
+    tree on-device (accel.build_bvh_device — jnp Morton sort + level
+    reductions; the dynamic-scene rebuild/refit path: geometry edits can
+    re-run it under jit without a host round-trip). The device build
+    replaces the wavefront Bvh; the packet-kernel layout (kbvh) is
+    host-built either way since its treelet blocks are a compile-time
+    byte layout.
 
     Raises SceneError("Scene should have at least one light") like
     renderer/mod.rs:143-147.
@@ -593,7 +599,15 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     if use_bvh or (use_bvh is None and n_solids > BVH_THRESHOLD):
         from ..accel import build_bvh, build_kernel_bvh
 
-        bvh = build_bvh(solids)
+        if use_bvh == "device":
+            from ..accel import build_bvh_device, solids_aabbs
+
+            kinds, idxs, mins, maxs = solids_aabbs(solids)
+            bvh = build_bvh_device(jnp.asarray(mins, jnp.float32),
+                                   jnp.asarray(maxs, jnp.float32),
+                                   jnp.asarray(kinds), jnp.asarray(idxs))
+        else:
+            bvh = build_bvh(solids)
         kbvh = build_kernel_bvh(solids)
 
     material_table = mats.build()

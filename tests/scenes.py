@@ -203,12 +203,20 @@ def create_blend_material_scene(render_config, blend_factor):
     return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
 
 
-def create_sponza_class_scene(render_config, n_cells=362, seed=7):
+def create_sponza_class_scene(render_config, n_cells=362, seed=7,
+                              textured=True):
     """Sponza-class workload: a procedurally displaced terrain mesh of
     2*n_cells^2 triangles (default 262,088 — the scale of the reference
     README's sponza render) inside a lit room. Stresses the same things the
     sponza benchmark does — a deep BVH over a large triangle soup with an
     interior camera — without shipping a large binary asset.
+
+    textured=True (the default, and what the benchmark measures) gives the
+    terrain an image albedo + tangent-space normal map with tiled
+    per-vertex UVs, like the reference's showcase sponza render
+    (README.md:23-27, texture.rs:167-180): the at-scale fast path then
+    exercises the texture arena, UV interpolation and shading-normal
+    machinery, not just solid-color shading.
     """
     from solstrale_tpu.scene import TriangleMesh
 
@@ -223,7 +231,21 @@ def create_sponza_class_scene(render_config, n_cells=362, seed=7):
     verts = np.concatenate(
         [np.stack([a, b, c], axis=2).reshape(-1, 3, 3),
          np.stack([a, c, d], axis=2).reshape(-1, 3, 3)], 0)
-    terrain = TriangleMesh(verts, Lambertian(SolidColor(0.73, 0.73, 0.73)))
+    if textured:
+        # tiled UVs: one texture repeat per 8x8 cells (abs-wrap sampling)
+        U = X / 20.0 * (n_cells / 8.0)
+        V = Z / 20.0 * (n_cells / 8.0)
+        UV = np.stack([U, V], -1)
+        ua, ub, uc, ud = UV[:-1, :-1], UV[1:, :-1], UV[1:, 1:], UV[:-1, 1:]
+        uvs = np.concatenate(
+            [np.stack([ua, ub, uc], axis=2).reshape(-1, 3, 2),
+             np.stack([ua, uc, ud], axis=2).reshape(-1, 3, 2)], 0)
+        mat = Lambertian(ImageMap.load(tex("wall_color.png")),
+                         load_normal_texture(tex("wall_n.png")))
+        terrain = TriangleMesh(verts, mat, uvs=uvs)
+    else:
+        terrain = TriangleMesh(verts,
+                               Lambertian(SolidColor(0.73, 0.73, 0.73)))
     world = [
         terrain,
         # room shell so secondary rays keep bouncing (interior workload)
@@ -236,6 +258,10 @@ def create_sponza_class_scene(render_config, n_cells=362, seed=7):
         Quad((-4, 10.5, -4), (8, 0, 0), (0, 0, 8),
              DiffuseLight(15.0, 15.0, 15.0)),
     ]
+    # camera INSIDE the room (the shell's far wall is at z=12): from
+    # z=14 the view is the unlit back of that wall and the whole render
+    # is black — caught in round 4; every prior sponza number measured
+    # that degenerate 2-segment workload
     camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
-                          look_from=(0.0, 6.0, 14.0), look_at=(0.0, 0.0, 0.0))
+                          look_from=(0.0, 6.0, 9.0), look_at=(0.0, 0.0, 0.0))
     return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)

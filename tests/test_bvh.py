@@ -85,3 +85,45 @@ def test_render_through_bvh_matches_brute_force():
     b, _, _ = integrator.render_sample(cs_bvh, jnp.int32(1), jnp.int32(1), **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_compile_scene_device_bvh_matches_host():
+    """use_bvh="device" routes the wavefront BVH through the on-device
+    LBVH builder; traversal results must match the host build exactly
+    (same Morton order => same tree)."""
+    import jax.numpy as jnp
+    from scenes import create_sponza_class_scene
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.accel import bvh_closest_hit
+    from solstrale_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    scene = create_sponza_class_scene(cfg, n_cells=40)  # 3200 tris
+    cs_h = compile_scene(scene, use_bvh=True)
+    cs_d = compile_scene(scene, use_bvh="device")
+    assert cs_d.bvh is not None
+
+    rng = np.random.default_rng(3)
+    n = 512
+    o = jnp.asarray(rng.uniform(-11, 11, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    t_h, k_h, i_h = bvh_closest_hit(cs_h.bvh, cs_h.solids, o, d, 1e-3,
+                                    np.inf)
+    t_d, k_d, i_d = bvh_closest_hit(cs_d.bvh, cs_d.solids, o, d, 1e-3,
+                                    np.inf)
+    hit_h = np.isfinite(np.asarray(t_h))
+    np.testing.assert_array_equal(hit_h, np.isfinite(np.asarray(t_d)))
+    np.testing.assert_allclose(np.asarray(t_h)[hit_h],
+                               np.asarray(t_d)[hit_h], rtol=1e-5, atol=1e-5)
+
+    # rebuild cycle: jitter the geometry, rebuild on device, traversal
+    # still agrees with a fresh host build of the same moved scene
+    scene2 = create_sponza_class_scene(cfg, n_cells=40, seed=9)
+    cs_h2 = compile_scene(scene2, use_bvh=True)
+    cs_d2 = compile_scene(scene2, use_bvh="device")
+    t_h2, _, _ = bvh_closest_hit(cs_h2.bvh, cs_h2.solids, o, d, 1e-3, np.inf)
+    t_d2, _, _ = bvh_closest_hit(cs_d2.bvh, cs_d2.solids, o, d, 1e-3, np.inf)
+    hh = np.isfinite(np.asarray(t_h2))
+    np.testing.assert_array_equal(hh, np.isfinite(np.asarray(t_d2)))
+    np.testing.assert_allclose(np.asarray(t_h2)[hh],
+                               np.asarray(t_d2)[hh], rtol=1e-5, atol=1e-5)

@@ -123,3 +123,43 @@ def test_light_pdf_quad():
     pdf = light_pdf_values(cs.lights, V(0, 0, 0), V(0, 0, 1))
     # head-on: dist²/(cos·area) = 25/(1·4)
     assert float(pdf[0, 0]) == pytest.approx(25.0 / 4.0, rel=1e-4)
+
+
+def test_light_pdf_mean3_vectorized_fallback_matches_unroll():
+    """Above _MEAN3_UNROLL_MAX lights the SoA mean switches to the
+    vectorized (R, L) sweep; both forms must agree exactly on a mixed
+    sphere/quad/triangle light set."""
+    from solstrale_tpu.ops import intersect as X
+    from solstrale_tpu.geo import soa
+
+    rng = np.random.default_rng(11)
+    world = []
+    for i in range(9):
+        world.append(Sphere((i * 2.0 - 8, 30 + i, 0), 0.5 + 0.1 * i,
+                            DiffuseLight(5, 5, 5)))
+    for i in range(9):
+        world.append(Quad((i * 2.0 - 8, -20.0, -3), (1, 0, 0), (0, 0, 1),
+                          DiffuseLight(4, 4, 4)))
+    scene = Scene(Bvh(world), CameraConfig(look_from=(0, 0, 25)), (0, 0, 0),
+                  RenderConfig(width=4, height=4))
+    cs = compile_scene(scene)
+    assert cs.lights.kind.shape[0] > X._MEAN3_UNROLL_MAX
+
+    n = 64
+    o = jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    o_s, d_s = soa.from_aos(o), soa.from_aos(d)
+
+    got = X.light_pdf_mean3(cs.lights, o_s, d_s)        # fallback path
+    want = jnp.mean(X.light_pdf_values(cs.lights, o, d), axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+    # and the unrolled form itself agrees on a small subset scene
+    few = Scene(Bvh(world[:3]), CameraConfig(look_from=(0, 0, 25)),
+                (0, 0, 0), RenderConfig(width=4, height=4))
+    cf = compile_scene(few)
+    got2 = X.light_pdf_mean3(cf.lights, o_s, d_s)
+    want2 = jnp.mean(X.light_pdf_values(cf.lights, o, d), axis=1)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-5, atol=1e-7)

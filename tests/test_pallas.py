@@ -164,3 +164,39 @@ def test_pallas_bvh_matches_brute_force_large_mesh():
     same = (np.asarray(k_ref) == np.asarray(k_b)) & \
         (np.asarray(i_ref) == np.asarray(i_b))
     assert same[hit_ref].mean() > 0.999
+
+
+def test_pallas_bvh_ray_sort_identical():
+    """The (origin-cell, direction-octant) ray re-ordering around the
+    packet kernel is a pure permutation: results must be bit-identical to
+    the unsorted path (R >= 4*BLOCK engages the sort)."""
+    import os
+
+    from solstrale_tpu.accel import build_kernel_bvh
+    from solstrale_tpu.ops.pallas_bvh import BLOCK, bvh_planar_hit_pallas
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    kbvh = build_kernel_bvh(cs.solids)
+
+    rng = np.random.default_rng(9)
+    n = 4 * BLOCK + 37
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    # park a stripe of rays (zero direction) like the queue drain tail
+    d = d.at[100:300].set(0.0)
+
+    old = os.environ.get("SOLSTRALE_RAYSORT")
+    try:
+        os.environ["SOLSTRALE_RAYSORT"] = "0"
+        t0, s0 = bvh_planar_hit_pallas(kbvh, o, d, 1e-3, interpret=True)
+        os.environ["SOLSTRALE_RAYSORT"] = "1"
+        t1, s1 = bvh_planar_hit_pallas(kbvh, o, d, 1e-3, interpret=True)
+    finally:
+        if old is None:
+            os.environ.pop("SOLSTRALE_RAYSORT", None)
+        else:
+            os.environ["SOLSTRALE_RAYSORT"] = old
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    assert not np.isfinite(np.asarray(t0)[100:300]).any()

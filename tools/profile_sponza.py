@@ -112,6 +112,24 @@ def main():
 
     device_time("scatter (materials+NEE)", body_scatter, iters)
 
+    # direct trace_queued with iteration count
+    @jax.jit
+    def tq(sample):
+        accum, segs, iters = I.trace_queued(
+            cs, None, sample, 1, jnp.int32(1), width=width, height=height,
+            max_depth=50, stats=True)
+        return jnp.sum(accum), segs, iters
+
+    r = tq(jnp.int32(3)); float(r[0])
+    t0 = time.perf_counter()
+    r = tq(jnp.int32(1))
+    segs, iters = float(r[1]), int(r[2])
+    dt = time.perf_counter() - t0
+    print(f"{'trace_queued direct':46s} {dt * 1e3:9.3f} ms   "
+          f"iters={iters}  segs={segs:.0f}  "
+          f"ms/iter={dt * 1e3 / max(iters, 1):.2f}  "
+          f"occupancy={segs / (iters * 131072.0) * 100:.1f}%", flush=True)
+
     # full queue-step percentage check: one whole frame
     @jax.jit
     def frame(sample):
