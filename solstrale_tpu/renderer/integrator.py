@@ -634,7 +634,18 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
     nv = n_pix if n_valid is None else n_valid
     total_q = nv * n_samples  # queue length (python int or traced scalar)
     if lanes is None:
-        lanes = int(os.environ.get("SOLSTRALE_LANES", "131072"))
+        env = os.environ.get("SOLSTRALE_LANES")
+        if env:
+            lanes = int(env)
+        else:
+            # Fewer lanes make every iteration cheaper; more lanes mean
+            # fewer full-occupancy iterations. The drain tail (up to
+            # max_depth near-empty iterations while the deepest paths
+            # finish) costs per-iteration regardless, so SMALL queues are
+            # fastest with half-size pools: measured 5.7 -> 8.7 Mrays/s on
+            # the kitchen-sink bench at 65k vs 131k lanes, while the
+            # 2M-entry sponza queue prefers 131k.
+            lanes = 131072 if n_pix * n_samples >= 1_500_000 else 65536
         lanes = min(lanes, n_pix * n_samples)
     unroll = int(os.environ.get("SOLSTRALE_UNROLL", "1"))
 
