@@ -415,21 +415,23 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     out_s_ref[...] = bs_ref[...]
 
 
-def _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret):
-    """One pallas_call over <= RAY_CHUNK rays + its XLA lane-reduction
-    epilogue. Returns (t, slot, u, v) of length r."""
-    r = oc[0].shape[0]
+def _bvh_chunk(kbvh, cols, interpret):
+    """One pallas_call over <= RAY_CHUNK rays (packed as (r, 8)
+    [o | d | tmin | valid] columns) + its XLA lane-reduction epilogue.
+    Returns (t, slot) of length r. The row-major (rows, 128) component
+    planes the walk consumes are derived from the packed columns, so
+    sorted callers permute ONE array (row-gather cost is flat in row
+    width) instead of eight."""
+    r = cols.shape[0]
     n_pad = (r + BLOCK - 1) // BLOCK * BLOCK
     pad = n_pad - r
-
-    def prep_row(x):
-        x = jnp.pad(x, ((0, pad),))
-        return x.reshape(n_pad // _LANES, _LANES)
-
-    ox, oy, oz = (prep_row(c) for c in oc)
-    dx, dy, dz = (prep_row(c) for c in dc)
-    cols = jnp.stack(list(oc) + list(dc) + [tminb, validb], axis=1)
     cols = jnp.pad(cols, ((0, pad), (0, 0)))
+
+    def prep_row(i):
+        return cols[:, i].reshape(n_pad // _LANES, _LANES)
+
+    ox, oy, oz = prep_row(0), prep_row(1), prep_row(2)
+    dx, dy, dz = prep_row(3), prep_row(4), prep_row(5)
 
     grid = (n_pad // BLOCK,)
     row_spec = pl.BlockSpec((BLOCK // _LANES, _LANES), lambda i: (i, 0),
@@ -540,28 +542,19 @@ def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort):
     validb = ((dc[0] != 0.0) | (dc[1] != 0.0)
               | (dc[2] != 0.0)).astype(jnp.float32)
 
+    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    cols = jnp.stack(list(oc) + list(dc) + [tminb, validb], axis=1)
     order = None
     if r >= 4 * BLOCK and sort:
         key = _ray_sort_key(kbvh, oc, dc, validb)
         order = jnp.argsort(key)
-        oc = tuple(c[order] for c in oc)
-        dc = tuple(c[order] for c in dc)
-        # recompute the cheap derived arrays instead of permuting them
-        validb = ((dc[0] != 0.0) | (dc[1] != 0.0)
-                  | (dc[2] != 0.0)).astype(jnp.float32)
-    tminb = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    if order is not None and jnp.ndim(tmin):
-        tminb = tminb[order]
+        cols = cols[order]          # ONE row-gather for all 8 components
 
     if r <= RAY_CHUNK:
-        t, sl = _bvh_chunk(kbvh, oc, dc, tminb, validb, interpret)
+        t, sl = _bvh_chunk(kbvh, cols, interpret)
     else:
         parts = [
-            _bvh_chunk(kbvh,
-                       tuple(c[a:a + RAY_CHUNK] for c in oc),
-                       tuple(c[a:a + RAY_CHUNK] for c in dc),
-                       tminb[a:a + RAY_CHUNK], validb[a:a + RAY_CHUNK],
-                       interpret)
+            _bvh_chunk(kbvh, cols[a:a + RAY_CHUNK], interpret)
             for a in range(0, r, RAY_CHUNK)
         ]
         t, sl = (jnp.concatenate([p[k] for p in parts]) for k in range(2))
