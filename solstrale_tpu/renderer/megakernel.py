@@ -185,11 +185,24 @@ def _isnan(x):
 
 def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
                    light_ref, *rest, n_sph, n_pl, n_mat, n_tex, n_light,
-                   media_np, has_blend):
+                   media_np, has_blend, arena_words):
+    has_image = arena_words > 0
     n_media = len(media_np)
     med_tabs = rest[:2 * n_media]
-    med_par = rest[2 * n_media] if n_media else None
-    out_r, out_g, out_b, seg_ref = rest[-4:]
+    k = 2 * n_media
+    med_par = None
+    if n_media:
+        med_par = rest[k]
+        k += 1
+    if has_image:
+        texmeta_ref = rest[k]          # SMEM (Tt, 4): offset w h is_img
+        arena_hbm = rest[k + 1]        # ANY (arena_words,) i32 u8-packed
+        # kernel arg order: inputs, OUTPUTS, scratches
+        out_r, out_g, out_b, seg_ref = rest[k + 2:k + 6]
+        (idx_vm, rgb_vm, idx_sm, rgb_sm, arena_sm,
+         asem, xsem) = rest[k + 6:k + 13]
+    else:
+        out_r, out_g, out_b, seg_ref = rest[-4:]
 
     width_i = scal_ref[0]
     height_i = scal_ref[1]
@@ -201,6 +214,15 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
     sample_end = sample_start + n_samples
 
     tile = pl.program_id(0)
+    if has_image:
+        # u8-packed texture arena -> SMEM once (scratch persists across
+        # grid steps); SMEM scalar loads are the only per-lane dynamic
+        # fetch the hardware offers (VMEM scalar loads need a static lane)
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            pltpu.make_async_copy(arena_hbm, arena_sm, asem).start()
+            pltpu.make_async_copy(arena_hbm, arena_sm, asem).wait()
+
     lane = (jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0) * _LANES
             + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1))
     pix = tile * TILE + lane
@@ -243,7 +265,8 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         oo = _dot(o, o)
         best = jnp.full(o[0].shape, INF, jnp.float32)
         zero = jnp.zeros_like(best)
-        cap = (zero, zero, zero, zero - 1.0, zero)  # nx/cx ny nz mat is_sph
+        # nx/cx ny nz mat is_sph [tu tv]
+        cap = (zero, zero, zero, zero - 1.0, zero, zero, zero)
 
         def sph_body(p, carry):
             best, cap = carry
@@ -271,7 +294,8 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
                    jnp.where(better, cy, cap[1]),
                    jnp.where(better, cz, cap[2]),
                    jnp.where(better, mat, cap[3]),
-                   jnp.where(better, 1.0, cap[4]))
+                   jnp.where(better, 1.0, cap[4]),
+                   cap[5], cap[6])  # sphere uv derives from the normal
             return best, cap
 
         best, cap = _unrolled_fori(0, n_sph, sph_body, (best, cap))
@@ -300,11 +324,21 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
             ok = ((jnp.abs(denom) >= ALMOST_ZERO) & valid & contain
                   & (t >= tmin) & (t < best))
             best = jnp.where(ok, t, best)
+            if has_image:
+                # interpolated texture uv (triangle.rs:150-154; quads use
+                # identity uv functionals) captured with the winner
+                tu = pl_ref[p, 16] + u * pl_ref[p, 18] + v * pl_ref[p, 20]
+                tv = pl_ref[p, 17] + u * pl_ref[p, 19] + v * pl_ref[p, 21]
+                c5 = jnp.where(ok, tu, cap[5])
+                c6 = jnp.where(ok, tv, cap[6])
+            else:
+                c5, c6 = cap[5], cap[6]
             cap = (jnp.where(ok, nx, cap[0]),
                    jnp.where(ok, ny, cap[1]),
                    jnp.where(ok, nz, cap[2]),
                    jnp.where(ok, mat, cap[3]),
-                   jnp.where(ok, 0.0, cap[4]))
+                   jnp.where(ok, 0.0, cap[4]),
+                   c5, c6)
             return best, cap
 
         return _unrolled_fori(0, n_pl, pl_body, (best, cap))
@@ -494,6 +528,37 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         dir_pl = _sub(_add(p0, _add(_scale(p1, r1), _scale(p2, r2))), point)
         return _where(kind == 0.0, dir_sph, dir_pl)
 
+    if has_image:
+        def _arena_fetch(byte0):
+            """Per-lane u8 arena fetch: spill the (8,128) byte indices to
+            SMEM (via VMEM, DMA), walk them on the scalar core unpacking
+            3 bytes each from the SMEM arena words, DMA the rgb planes
+            back to VMEM. ~25k scalar cycles per call — only runs when a
+            lane actually shades an image texture this bounce."""
+            idx_vm[...] = byte0
+            pltpu.make_async_copy(idx_vm, idx_sm, xsem).start()
+            pltpu.make_async_copy(idx_vm, idx_sm, xsem).wait()
+
+            def lane_body(i, carry):
+                r = i // _LANES
+                l = i - r * _LANES
+                b0 = idx_sm[r, l]
+                out = []
+                for ch in range(3):
+                    bidx = b0 + ch
+                    word = arena_sm[bidx >> 2]
+                    byte = (word >> ((bidx & 3) * 8)) & 255
+                    out.append(byte.astype(jnp.float32)
+                               * jnp.float32(1.0 / 255.0))
+                rgb_sm[0, r, l] = out[0]
+                rgb_sm[1, r, l] = out[1]
+                rgb_sm[2, r, l] = out[2]
+                return carry
+
+            jax.lax.fori_loop(0, TILE, lane_body, jnp.int32(0))
+            pltpu.make_async_copy(rgb_sm, rgb_vm, xsem).start()
+            pltpu.make_async_copy(rgb_sm, rgb_vm, xsem).wait()
+
     # ---------------- the progressive loop ----------------
     zero = jnp.zeros((_ROWS, _LANES), jnp.float32)
     sample0 = jnp.full((_ROWS, _LANES), 1, jnp.int32) * sample_start
@@ -525,7 +590,7 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         active = (sample < sample_end) & pix_ok
 
         t, cap = sweep_capture(o, d, jnp.float32(1e-3))
-        capx, capy, capz, cmat, is_sph = cap
+        capx, capy, capz, cmat, is_sph, ctu, ctv = cap
 
         # constant-medium events (fused, constant_medium.rs:35-79)
         is_med = jnp.zeros_like(t) > 1.0
@@ -582,6 +647,35 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         row = mat_lookup(eff)
         mk = row["kind"]
         albedo = tex_lookup(row["albedo_tex"])
+        if has_image:
+            # planar prims only: spherical uv needs acos/atan2, which this
+            # Mosaic has no lowering for — scenes with image-textured
+            # SPHERES are gated to the wavefront path (megakernel_supported)
+            tu, tv = ctu, ctv
+            # texture metadata (offset w h is_img) via masked rows
+            zm = jnp.zeros_like(tu)
+            toff, tw, th, timg = zm, zm + 1.0, zm + 1.0, zm
+            for ti in range(n_tex):
+                sel = row["albedo_tex"] == jnp.float32(ti)
+                toff = jnp.where(sel, texmeta_ref[ti, 0], toff)
+                tw = jnp.where(sel, texmeta_ref[ti, 1], tw)
+                th = jnp.where(sel, texmeta_ref[ti, 2], th)
+                timg = jnp.where(sel, texmeta_ref[ti, 3], timg)
+            # nearest-neighbor, abs-wrap, flipped v (texture.rs:167-180)
+            uu = jnp.abs(tu) % 1.0
+            vv = 1.0 - jnp.abs(tv) % 1.0
+            xi = jnp.floor(uu * (tw - 1.0))
+            yi = jnp.floor(vv * (th - 1.0))
+            pix_idx = (toff + yi * tw + xi).astype(jnp.int32)
+            need = jnp.max((timg * active.astype(jnp.float32))
+                           .astype(jnp.int32))
+
+            @pl.when(need > 0)
+            def _():
+                _arena_fetch(pix_idx * 3)
+
+            img_rgb = (rgb_vm[0, :, :], rgb_vm[1, :, :], rgb_vm[2, :, :])
+            albedo = _where(timg > 0.5, img_rgb, albedo)
 
         is_light = mk == DIFFUSE_LIGHT
         is_lamb = mk == LAMBERTIAN
@@ -716,16 +810,33 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
 
 # --- host wrapper -----------------------------------------------------------
 
+# largest u8-packed texture arena the in-kernel SMEM copy can hold; SMEM
+# totals 1 MB and scratch allocations beyond ~512 KB fail to compile
+ARENA_SMEM_BYTES = 448 * 1024
+
+
 def megakernel_supported(cs, *, need_aux, shader_kind):
     """Static gate: the megakernel covers path-tracing renders of scenes
-    whose tables fit SMEM, with solid-color textures and no normal maps.
-    Everything else uses the wavefront integrator."""
+    whose tables fit SMEM, with solid-color or small u8 image textures and
+    no normal maps. Everything else uses the wavefront integrator."""
     if shader_kind != 0 or need_aux:
         return False
     if cs.bvh is not None:         # large scenes: packet-BVH path
         return False
-    if "normal_maps" in cs.features or "image_tex" in cs.features:
+    if "normal_maps" in cs.features:
         return False
+    if "image_tex" in cs.features:
+        # image textures need (a) every image texel u8-exact (checked at
+        # compile time — the "image_tex_u8" feature flag) so the in-kernel
+        # u8 arena round-trips losslessly, (b) the arena to fit the SMEM
+        # budget (static: arena row count), and (c) no image-textured
+        # sphere: spherical uv needs acos/atan2, unavailable in Mosaic
+        if "image_tex_u8" not in cs.features:
+            return False
+        if cs.textures.pixels.shape[0] * 3 > ARENA_SMEM_BYTES:
+            return False
+        if "sphere_image_tex" in cs.features:
+            return False
     if cs.solids.pl_n.shape[0] > 1024 or cs.solids.sph_center.shape[0] > 128:
         return False
     if cs.lights.kind.shape[0] > 32 or cs.materials.kind.shape[0] > 64:
@@ -739,14 +850,17 @@ def megakernel_supported(cs, *, need_aux, shader_kind):
 
 
 def _pack_planar16(s):
-    """(P, 16) planar rows: n(3) d g1(3) g1o g2(3) g2o is_tri valid mat."""
+    """(P, 22) planar rows: n(3) d g1(3) g1o g2(3) g2o is_tri valid mat pad
+    uv0(2) duv1(2) duv2(2) — the uv-map tail feeds image-texture lookups
+    (pl_attr cols 17:23, scene/compile.py)."""
     return jnp.concatenate([
         s.pl_n, s.pl_d[:, None], s.pl_g1, s.pl_g1o[:, None],
         s.pl_g2, s.pl_g2o[:, None],
         s.pl_is_tri.astype(jnp.float32)[:, None],
         s.pl_valid.astype(jnp.float32)[:, None],
         _planar_mats(s)[:, None],
-        jnp.zeros((s.pl_n.shape[0], 1), jnp.float32)], axis=1)
+        jnp.zeros((s.pl_n.shape[0], 1), jnp.float32),
+        s.pl_attr[:, 17:23].astype(jnp.float32)], axis=1)
 
 
 def _planar_mats(s):
@@ -786,9 +900,31 @@ def render_batch_megakernel(cs, sample_start, n_samples, seed, *, width,
     sph = _pack_sphere8(cs.solids)
     pln = _pack_planar16(cs.solids)
     mats = cs.materials.attr  # kind albedo_tex normal_tex fuzz ior atten bf m1 m2
-    texs = jnp.concatenate([cs.textures.pixels,
-                            jnp.zeros((cs.textures.pixels.shape[0], 1),
-                                      jnp.float32)], axis=1)
+    # per-texture FIRST-pixel rows: the solid-color fast path (image
+    # texels come from the u8 arena below)
+    texs = jnp.concatenate([
+        cs.textures.pixels[cs.textures.offset],
+        jnp.zeros((cs.textures.offset.shape[0], 1), jnp.float32)], axis=1)
+    has_image = "image_tex" in cs.features  # static feature flag
+    arena_words = 0
+    image_in = []
+    if has_image:
+        px_u8 = jnp.clip(jnp.round(cs.textures.pixels * 255.0),
+                         0, 255).astype(jnp.int32).reshape(-1)
+        n_b = px_u8.shape[0]
+        padb = (-n_b) % 4
+        px_u8 = jnp.concatenate([px_u8, jnp.zeros((padb,), jnp.int32)])
+        w4 = px_u8.reshape(-1, 4)
+        arena = (w4[:, 0] | (w4[:, 1] << 8) | (w4[:, 2] << 16)
+                 | (w4[:, 3] << 24))
+        arena_words = arena.shape[0]
+        texmeta = jnp.stack([
+            cs.textures.offset.astype(jnp.float32),
+            cs.textures.w.astype(jnp.float32),
+            cs.textures.h.astype(jnp.float32),
+            (cs.textures.w * cs.textures.h > 1).astype(jnp.float32)],
+            axis=1)
+        image_in = [texmeta, arena]
     lights = jnp.concatenate([
         cs.lights.kind.astype(jnp.float32)[:, None],
         cs.lights.p0, cs.lights.p1, cs.lights.p2,
@@ -822,12 +958,28 @@ def render_batch_megakernel(cs, sample_start, n_samples, seed, *, width,
         _render_kernel,
         n_sph=sph.shape[0], n_pl=pln.shape[0], n_mat=mats.shape[0],
         n_tex=texs.shape[0], n_light=lights.shape[0],
-        media_np=tuple(media_np), has_blend="blend" in cs.features)
+        media_np=tuple(media_np), has_blend="blend" in cs.features,
+        arena_words=arena_words)
+
+    scratches = []
+    image_specs = []
+    if has_image:
+        image_specs = [smem, pl.BlockSpec(memory_space=pl.ANY)]
+        scratches = [
+            pltpu.VMEM((_ROWS, _LANES), jnp.int32),        # idx_vm
+            pltpu.VMEM((3, _ROWS, _LANES), jnp.float32),   # rgb_vm
+            pltpu.SMEM((_ROWS, _LANES), jnp.int32),        # idx_sm
+            pltpu.SMEM((3, _ROWS, _LANES), jnp.float32),   # rgb_sm
+            pltpu.SMEM((arena_words,), jnp.int32),         # arena_sm
+            pltpu.SemaphoreType.DMA(()),                   # asem
+            pltpu.SemaphoreType.DMA(()),                   # xsem
+        ]
 
     r, g, b, segs = pl.pallas_call(
         kern,
         grid=(n_tiles,),
-        in_specs=[smem] * (7 + len(med_tabs) + len(extra)),
+        in_specs=([smem] * (7 + len(med_tabs) + len(extra)) + image_specs),
+        scratch_shapes=scratches,
         out_specs=(out_spec, out_spec, out_spec, seg_spec),
         out_shape=(jax.ShapeDtypeStruct((n_tiles * _ROWS, _LANES),
                                         jnp.float32),
@@ -838,7 +990,8 @@ def render_batch_megakernel(cs, sample_start, n_samples, seed, *, width,
                    jax.ShapeDtypeStruct((n_tiles * _ROWS, _LANES),
                                         jnp.float32)),
         interpret=interpret,
-    )(scal, cam_row, sph, pln, mats, texs, lights, *med_tabs, *extra)
+    )(scal, cam_row, sph, pln, mats, texs, lights, *med_tabs, *extra,
+      *image_in)
 
     accum = jnp.stack([r.reshape(-1)[:n_pix], g.reshape(-1)[:n_pix],
                        b.reshape(-1)[:n_pix]], axis=-1)

@@ -617,7 +617,36 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
     if any(r["normal_tex"] >= 0 for r in mats.rows):
         features.add("normal_maps")
     if any(w > 1 or h > 1 for w, h in zip(arena.w, arena.h)):
-        features.add("image_tex")   # megakernel gate: solid colors only
+        features.add("image_tex")
+        # every image texel exactly representable in u8: the megakernel's
+        # u8 SMEM arena then round-trips losslessly
+        # (renderer/megakernel.py). ImageMap stores u8 and divides by 255
+        # (texture.rs:37-43 semantics), so this holds by construction —
+        # verified here against the actual arena rows for safety.
+        u8_ok = True
+        for off, w, h, px in zip(arena.offset, arena.w, arena.h,
+                                 arena.pixels):
+            if w * h > 1:
+                seg = np.asarray(px, np.float64) * 255.0
+                if not np.allclose(seg, np.round(seg), atol=1e-4):
+                    u8_ok = False
+                    break
+        if u8_ok:
+            features.add("image_tex_u8")
+
+        def _mat_has_image(m, depth=0):
+            from .materials import Blend as _Blend
+            if depth > 4 or m is None:
+                return False
+            if isinstance(m, _Blend):
+                return (_mat_has_image(m.material_1, depth + 1)
+                        or _mat_has_image(m.material_2, depth + 1))
+            alb = getattr(m, "albedo", None)
+            from .textures import ImageMap as _IM
+            return isinstance(alb, _IM)
+
+        if any(_mat_has_image(sp.material) for sp in out["spheres"]):
+            features.add("sphere_image_tex")
     if out["spheres"]:
         features.add("spheres")
 

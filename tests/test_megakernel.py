@@ -79,3 +79,45 @@ def test_megakernel_unsupported_gates():
         simple, need_aux=True, shader_kind=integrator.SHADER_PATH)
     assert not megakernel.megakernel_supported(
         simple, need_aux=False, shader_kind=integrator.SHADER_ALBEDO)
+
+
+def test_megakernel_image_texture_scene():
+    """Image-textured scene through the megakernel's u8 SMEM arena: must
+    reproduce the wavefront integrator bit-for-bit in estimator structure
+    (same RNG) — image texels are u8-exact so the arena round trip is
+    lossless. Covers quad identity-uv lookups, triangle interpolated uv
+    and spherical uv (sphere.rs:134-140 / texture.rs:167-180)."""
+    from solstrale_tpu.scene import ImageMap, Triangle
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    camera = CameraConfig(vertical_fov_degrees=35.0,
+                          look_from=(0.0, 1.5, 4.0), look_at=(0, 0.5, 0))
+    world = [
+        Quad((-3, 0, -3), (6, 0, 0), (0, 0, 6),
+             Lambertian(ImageMap(img))),
+        Sphere((0.8, 0.8, 0.0), 0.6, Lambertian(SolidColor(0.4, 0.7, 0.9))),
+        Triangle((-1.5, 0.0, 1.0), (-0.3, 0.0, 1.0), (-0.9, 1.4, 1.0),
+                 Lambertian(ImageMap(img)),
+                 uv0=(0.1, 0.1), uv1=(0.9, 0.1), uv2=(0.5, 0.9)),
+        Sphere((0, 40, 10), 12.0, DiffuseLight(10, 10, 10)),
+    ]
+    scene = Scene(Bvh(world), camera, (0.1, 0.1, 0.2),
+                  RenderConfig(width=40, height=24, samples_per_pixel=2,
+                               seed=3))
+    cs = compile_scene(scene, use_bvh=False)
+    assert "image_tex" in cs.features
+    assert megakernel.megakernel_supported(
+        cs, need_aux=False, shader_kind=integrator.SHADER_PATH)
+    _compare(scene, 40, 24, 2, max_depth=6)
+
+    # an image-textured SPHERE gates the scene back to the wavefront path
+    # (spherical uv needs acos/atan2 — no Mosaic lowering)
+    world2 = list(world)
+    world2[1] = Sphere((0.8, 0.8, 0.0), 0.6, Lambertian(ImageMap(img)))
+    cs2 = compile_scene(Scene(Bvh(world2), camera, (0.1, 0.1, 0.2),
+                              RenderConfig(width=8, height=8,
+                                           samples_per_pixel=1)),
+                        use_bvh=False)
+    assert not megakernel.megakernel_supported(
+        cs2, need_aux=False, shader_kind=integrator.SHADER_PATH)

@@ -37,10 +37,9 @@ def device_time(name, make_body, iters):
 def main():
     from scenes import create_sponza_class_scene
     from solstrale_tpu import RenderConfig
-    from solstrale_tpu.geo import INF, RAY_T_MIN, soa
+    from solstrale_tpu.geo import RAY_T_MIN, soa
     from solstrale_tpu.ops.intersect import hit_attributes_soa
-    from solstrale_tpu.ops.pallas_bvh import (bvh_closest_hit_pallas,
-                                              bvh_planar_hit_pallas)
+    from solstrale_tpu.ops.pallas_bvh import bvh_planar_hit_pallas
     from solstrale_tpu.renderer import integrator as I
     from solstrale_tpu.scene.compile import compile_scene
 
