@@ -33,7 +33,9 @@ pytestmark = pytest.mark.slow
 
 
 def test_render_scene_path_tracing():
-    scene = create_test_scene(cfg(200, 100, 25))
+    # 50 spp: at 25 the score sat at 0.9597, within noise of the 0.95 bar
+    # (the reference harness renders 400x200@50, integration_tests.rs:26-45)
+    scene = create_test_scene(cfg(200, 100, 50))
     render_and_compare(scene, "pathTracing")
 
 
