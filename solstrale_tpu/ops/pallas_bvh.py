@@ -79,7 +79,7 @@ TOP_LEVELS = 12
 # frontier nodes slab-tested per while-iteration (their reduces overlap)
 FB = 8
 # treelet DMA pipeline depth / drain round size
-DB = 8
+DB = 16
 # frontier queue capacity: bounded by the top tree's total node count
 FQ = 2 * (1 << TOP_LEVELS) + 2 * FB + 8
 TL_CAP = (1 << (TOP_LEVELS - 1)) + FB + 8
