@@ -476,11 +476,12 @@ def _bvh_chunk(kbvh, cols, interpret):
     return t[:r], sl[:r].astype(jnp.int32)
 
 
-def _spread4(v):
-    """Interleave the low 4 bits of v with two zero bits (Morton):
-    bit i moves to bit 3i."""
-    v = (v | (v << 4)) & jnp.int32(0x0C3)
-    v = (v | (v << 2)) & jnp.int32(0x249)
+def _spread_bits(v):
+    """Interleave the low 8 bits of v with two zero bits (Morton):
+    bit i moves to bit 3i (masks kept within int32 range)."""
+    v = (v | (v << 8)) & jnp.int32(0x0F00F)
+    v = (v | (v << 4)) & jnp.int32(0xC30C3)
+    v = (v | (v << 2)) & jnp.int32(0x249249)
     return v
 
 
@@ -491,21 +492,24 @@ def _ray_sort_key(kbvh, oc, dc, validb):
     between ~5 ms and ~250 ms per 131k-ray launch on divergent interior
     bounces (measured). Parked rays (zero direction) key to the end so
     they compact into all-dead packets the kernel skips outright."""
+    import os
+
+    bits = int(os.environ.get("SOLSTRALE_SORT_BITS", "6"))
     rootmin = kbvh.top_nodes[0, 0:3]
     rootmax = kbvh.top_nodes[0, 3:6]
     m = jnp.int32(0)
     for i in range(3):
         ext = jnp.maximum(rootmax[i] - rootmin[i], 1e-6)
-        q = jnp.clip((oc[i] - rootmin[i]) / ext * 16.0, 0.0, 15.0) \
-            .astype(jnp.int32)
-        m = m | (_spread4(q) << (2 - i))
+        q = jnp.clip((oc[i] - rootmin[i]) / ext * (1 << bits), 0.0,
+                     float((1 << bits) - 1)).astype(jnp.int32)
+        m = m | (_spread_bits(q) << (2 - i))
     octant = ((dc[0] < 0).astype(jnp.int32) * 4
               + (dc[1] < 0).astype(jnp.int32) * 2
               + (dc[2] < 0).astype(jnp.int32))
     # octant-major: each 128-ray stripe then holds one direction octant
     # from a compact region — the narrowest per-stripe frustum (measured
     # 1.53 -> 1.63 Mrays/s end to end vs cell-major)
-    key = (octant << 12) | m
+    key = (octant << (3 * bits)) | m
     return jnp.where(validb > 0.0, key, jnp.int32(1 << 30))
 
 
