@@ -354,10 +354,11 @@ def medium_hit(medium, o, d, t_solid, u_flight):
     exponential free-flight sample decides scattering inside [entry, exit]
     clamped to [RAY_T_MIN, t_solid]. Returns t (INF = no medium event)."""
     if _pallas_sweep_enabled():
+        from .detached import detached_call
         from .pallas_sweep import medium_hit_pallas
 
-        return medium_hit_pallas(medium, o, d, t_solid, u_flight,
-                                 interpret=_auto_interpret())
+        return detached_call(medium_hit_pallas, medium, o, d, t_solid,
+                             u_flight, interpret=_auto_interpret())
     t1, _, _ = closest_solid_hit(medium.boundary, o, d, -INF, INF)
     t2, _, _ = closest_solid_hit(medium.boundary, o, d, t1 + 1e-4, INF)
     both = jnp.isfinite(t1) & jnp.isfinite(t2)

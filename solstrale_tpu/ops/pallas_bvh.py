@@ -186,16 +186,18 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
         jax.lax.broadcasted_iota(jnp.int32, (BLOCK // _LANES, 1), 0))
 
     def refresh_bounds(per_ray):
-        """per_ray (1024, 1) reachable-t -> per-STRIPE max bound, stored
-        broadcast as (8, 128) so both the walk and the drain re-prune can
-        compare their (8, 128) ray-domain near values row-wise. Stripe s
-        holds rays [s*128, (s+1)*128) — exactly sublane-row s after the
-        (1024, 1) -> (8, 128) relayout. Invalid rays contribute -inf, so
-        all-parked stripes prune everything touching them."""
+        """per_ray (1024, 1) reachable-t -> PER-RAY bound stored (8, 128)
+        in the row-major ray layout, so both the walk and the drain
+        re-prune compare their (8, 128) ray-domain near values
+        ELEMENTWISE: a node/treelet survives for stripe s (= sublane-row
+        s) only if some ray in s can individually still reach it. This is
+        strictly tighter than the round-4 per-stripe max bound — there,
+        one far-flying ray (a miss crossing the whole room) forced drains
+        of distant treelets for its entire 128-ray stripe, the dominant
+        waste on divergent interior wavefronts. Invalid rays get -inf, so
+        they prune everything (and all-parked stripes go all-dead)."""
         gated = jnp.where(vcol > 0.5, per_ray, jnp.float32(-INF))
-        r8 = gated.reshape(BLOCK // _LANES, _LANES)
-        sb_ref[...] = jnp.broadcast_to(
-            jnp.max(r8, axis=1, keepdims=True), (BLOCK // _LANES, _LANES))
+        sb_ref[...] = gated.reshape(BLOCK // _LANES, _LANES)
 
     # per-stripe reachable bound, active from the first walk step thanks
     # to the root-box exit bound (a stripe whose rays all escape nearby
@@ -485,16 +487,13 @@ def _spread_bits(v):
     return v
 
 
-def _ray_sort_key(kbvh, oc, dc, validb):
-    """Packet-coherence sort key: origin Morton cell (4 bits/axis over the
-    scene root box) then direction octant. Rays sharing a cell+octant form
+def _ray_sort_key(kbvh, oc, dc, validb, bits):
+    """Packet-coherence sort key: origin Morton cell (``bits`` bits/axis over
+    the scene root box) then direction octant. Rays sharing a cell+octant form
     a narrow frustum whose treelet working set is small — the difference
     between ~5 ms and ~250 ms per 131k-ray launch on divergent interior
     bounces (measured). Parked rays (zero direction) key to the end so
     they compact into all-dead packets the kernel skips outright."""
-    import os
-
-    bits = int(os.environ.get("SOLSTRALE_SORT_BITS", "6"))
     rootmin = kbvh.top_nodes[0, 0:3]
     rootmax = kbvh.top_nodes[0, 3:6]
     m = jnp.int32(0)
@@ -528,14 +527,25 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     key before packetization and the results inverse-permuted — pure
     arithmetic + one sort, bit-identical results, and the packet working
     sets stay narrow even for fully divergent bounce wavefronts."""
-    # the sort flag must resolve OUTSIDE jit (env reads inside a jitted
-    # function are baked into the first-traced program)
-    return _bvh_planar_hit(kbvh, o, d, tmin, interpret=interpret,
-                           sort=_ray_sort_enabled())
+    # the sort flag/bits must resolve OUTSIDE jit (env reads inside a jitted
+    # function are baked into the first-traced program); _spread_bits only
+    # interleaves 8 bits, so larger values would silently collide keys
+    import os
+
+    from .detached import detached_call
+
+    bits = min(int(os.environ.get("SOLSTRALE_SORT_BITS", "6")), 8)
+    # detached geometry: the kernel has no AD rule; the zero-backward
+    # custom_vjp matches the XLA path's gradients for every differentiated
+    # parameter (see ops/detached.py)
+    return detached_call(_bvh_planar_hit, kbvh, o, d, tmin,
+                         interpret=interpret, sort=_ray_sort_enabled(),
+                         sort_bits=bits)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sort"))
-def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "sort", "sort_bits"))
+def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort, sort_bits=6):
     # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
     # form — avoids column extracts on the hot path)
     oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
@@ -550,7 +560,7 @@ def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort):
     cols = jnp.stack(list(oc) + list(dc) + [tminb, validb], axis=1)
     order = None
     if r >= 4 * BLOCK and sort:
-        key = _ray_sort_key(kbvh, oc, dc, validb)
+        key = _ray_sort_key(kbvh, oc, dc, validb, sort_bits)
         order = jnp.argsort(key)
         cols = cols[order]          # ONE row-gather for all 8 components
 

@@ -556,8 +556,10 @@ def scene_hit_fused(cs, o, d, u_flights, tmin, interpret=False):
     from ..scene.compile import (KIND_MEDIUM, KIND_QUAD, KIND_SPHERE,
                                  KIND_TRIANGLE)
 
-    t, slot = scene_hit_pallas(cs.solids, cs.media, o, d, tuple(u_flights),
-                               tmin=tmin, interpret=interpret)
+    from .detached import detached_call
+
+    t, slot = detached_call(scene_hit_pallas, cs.solids, cs.media, o, d,
+                            tuple(u_flights), tmin=tmin, interpret=interpret)
     n_sph = cs.solids.sph_center.shape[0]
     n_pl = cs.solids.pl_idx.shape[0]
     is_sphere = slot < n_sph
@@ -577,9 +579,10 @@ def closest_solid_hit_pallas(solids, o, d, tmin, tmax, interpret=False):
     """Drop-in for ops.intersect.closest_solid_hit via the Pallas kernel:
     returns (t, kind, idx)."""
     from ..scene.compile import KIND_QUAD, KIND_SPHERE, KIND_TRIANGLE
+    from .detached import detached_call
 
-    t, slot = closest_hit_pallas(solids, o, d, tmin, tmax,
-                                 interpret=interpret)
+    t, slot = detached_call(closest_hit_pallas, solids, o, d, tmin, tmax,
+                            interpret=interpret)
     n_sph = solids.sph_center.shape[0]
     is_sphere = slot < n_sph
     pslot = jnp.clip(slot - n_sph, 0, solids.pl_idx.shape[0] - 1)

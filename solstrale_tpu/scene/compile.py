@@ -641,9 +641,11 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
             if isinstance(m, _Blend):
                 return (_mat_has_image(m.material_1, depth + 1)
                         or _mat_has_image(m.material_2, depth + 1))
-            alb = getattr(m, "albedo", None)
             from .textures import ImageMap as _IM
-            return isinstance(alb, _IM)
+            # .albedo covers Lambertian/Metal/Dielectric/DiffuseLight;
+            # .tex covers Isotropic (scene/materials.py)
+            return (isinstance(getattr(m, "albedo", None), _IM)
+                    or isinstance(getattr(m, "tex", None), _IM))
 
         if any(_mat_has_image(sp.material) for sp in out["spheres"]):
             features.add("sphere_image_tex")

@@ -56,4 +56,7 @@ def test_bvh_scene_with_medium_matches_brute():
     # identical RNG + identical medium events => same estimator values
     # (fp reassociation between the kernel forms only)
     np.testing.assert_allclose(img_b, img_r, rtol=5e-3, atol=5e-3)
-    assert float(segs_b) == float(segs_r)
+    # segment counts may differ by a few paths: hit t values differ in ulps
+    # between the kernels (different fp evaluation order), and a
+    # near-threshold scatter/termination decision can flip
+    np.testing.assert_allclose(float(segs_b), float(segs_r), rtol=1e-3)

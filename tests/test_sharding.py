@@ -142,16 +142,9 @@ def test_sharded_inverse_rendering_converges():
     cs_true = compile_scene(scene)
 
     # target: forward render with the true texture, same estimator config
-    # as the training loss (sample 1, early_exit=False)
+    # as the training loss (sample 1, early_exit=False);
+    # train_step_sharded compares in pixel-id order, so feed it that order
     pix = jnp.arange(w * h, dtype=jnp.int32)
-    target, _, _ = integrator.render_pixels(
-        cs_true, pix, jnp.int32(1), jnp.int32(7), width=w, height=h,
-        max_depth=4, shader_kind=integrator.SHADER_PATH, need_aux=False,
-        early_exit=False)
-    target = np.asarray(target).reshape(h, w, 3)[::-1].reshape(-1, 3)
-    target = jnp.asarray(target)
-    # render_pixels returns pixel-major rows bottom-up; train_step_sharded
-    # compares in pixel-id order, so feed it pixel-id order directly
     target = jnp.asarray(np.asarray(integrator.render_pixels(
         cs_true, pix, jnp.int32(1), jnp.int32(7), width=w, height=h,
         max_depth=4, shader_kind=integrator.SHADER_PATH, need_aux=False,

@@ -116,7 +116,7 @@ def main():
     def tq(sample):
         accum, segs, iters = I.trace_queued(
             cs, None, sample, 1, jnp.int32(1), width=width, height=height,
-            max_depth=50, stats=True)
+            max_depth=50, lanes=lanes, stats=True)
         return jnp.sum(accum), segs, iters
 
     r = tq(jnp.int32(3)); float(r[0])
@@ -127,7 +127,7 @@ def main():
     print(f"{'trace_queued direct':46s} {dt * 1e3:9.3f} ms   "
           f"iters={iters}  segs={segs:.0f}  "
           f"ms/iter={dt * 1e3 / max(iters, 1):.2f}  "
-          f"occupancy={segs / (iters * 131072.0) * 100:.1f}%", flush=True)
+          f"occupancy={segs / (iters * float(lanes)) * 100:.1f}%", flush=True)
 
     # full queue-step percentage check: one whole frame
     @jax.jit

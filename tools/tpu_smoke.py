@@ -151,6 +151,88 @@ def check_golden():
     return {"score": round(float(score), 4)}
 
 
+@check("golden_bvh_scene_on_tpu")
+def check_golden_bvh():
+    """Kitchen-sink scene FORCED through the LBVH + packet-BVH kernel on
+    the chip, vs the reference pathTracing golden — catches Mosaic-vs-XLA
+    numeric drift in the traversal kernel that CPU interpret mode cannot
+    (integration_tests.rs:26-45 procedure)."""
+    from scenes import create_test_scene
+    from solstrale_tpu import Renderer, RenderConfig
+    from solstrale_tpu.scene.compile import compile_scene
+    from solstrale_tpu.utils import compare_images_rms
+    from PIL import Image
+
+    scene = create_test_scene(
+        RenderConfig(width=200, height=100, samples_per_pixel=50, seed=1))
+    r = Renderer(scene)
+    r.compiled = compile_scene(scene, use_bvh=True)
+    assert r.compiled.kbvh is not None
+    img = r.render_final()
+    expected = np.asarray(Image.open(
+        "/root/reference/tests/output/out_expected_pathTracing.jpg")
+        .convert("RGB"))
+    score = compare_images_rms(np.asarray(img), expected)
+    assert score > 0.95, f"golden score {score}"
+    return {"score": round(float(score), 4)}
+
+
+@check("golden_image_texture_on_tpu")
+def check_golden_uv():
+    """Image-textured scene (uv mapping incl. negative/wrapping uvs) with
+    compiled kernels vs the reference uv golden
+    (integration_tests.rs:100-111)."""
+    from scenes import create_uv_scene
+    from solstrale_tpu import Renderer, RenderConfig
+    from solstrale_tpu.utils import compare_images_rms
+    from PIL import Image
+
+    scene = create_uv_scene(
+        RenderConfig(width=128, height=128, samples_per_pixel=5, seed=1))
+    img = Renderer(scene).render_final()
+    expected = np.asarray(Image.open(
+        "/root/reference/tests/output/out_expected_uv.jpg").convert("RGB"))
+    score = compare_images_rms(np.asarray(img), expected)
+    assert score > 0.95, f"golden score {score}"
+    return {"score": round(float(score), 4)}
+
+
+@check("gradient_on_tpu")
+def check_gradient():
+    """jax.grad through the COMPILED Pallas forward on the real chip: the
+    detached-geometry custom_vjp (ops/detached.py) supplies the kernel
+    backward. Verifies finite, non-zero texture gradients and one central
+    finite-difference probe (BASELINE.json pixel-gradient requirement, on
+    hardware)."""
+    from scenes import create_simple_test_scene
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.diff import render_linear, set_texture_params
+    from solstrale_tpu.scene.compile import compile_scene
+
+    w, h = 32, 16
+    cs = compile_scene(create_simple_test_scene(
+        RenderConfig(width=w, height=h, samples_per_pixel=1, seed=1)))
+    params = cs.textures.pixels
+
+    def f(p):
+        img = render_linear(set_texture_params(cs, p), width=w, height=h,
+                            max_depth=4, n_samples=1, seed=1)
+        return jnp.sum(img)
+
+    fj = jax.jit(f)
+    g = np.asarray(jax.jit(jax.grad(f))(params))
+    assert np.isfinite(g).all(), "non-finite gradient"
+    assert (np.abs(g) > 0).any(), "all-zero gradient"
+    eps = 1e-2
+    i, c = 0, 0
+    fd = (float(fj(params.at[i, c].add(eps)))
+          - float(fj(params.at[i, c].add(-eps)))) / (2 * eps)
+    rel = abs(g[i, c] - fd) / max(abs(fd), 1e-6)
+    assert rel < 0.05, f"grad {g[i, c]} vs fd {fd} (rel {rel:.3f})"
+    return {"grad_nonzero_frac": round(float((np.abs(g) > 0).mean()), 4),
+            "fd_rel_err": round(float(rel), 5)}
+
+
 def main():
     RESULTS["backend"] = jax.default_backend()
     if RESULTS["backend"] == "cpu":
@@ -159,7 +241,8 @@ def main():
         RESULTS["ok"] = None
         RESULTS["skipped"] = "cpu backend"
     else:
-        for c in (check_bvh, check_sweep, check_megakernel, check_golden):
+        for c in (check_bvh, check_sweep, check_megakernel, check_golden,
+                  check_golden_bvh, check_golden_uv, check_gradient):
             c()
         RESULTS["ok"] = all(v["ok"] for v in RESULTS["checks"].values())
     out = os.path.join(REPO, "TPU_SMOKE.json")
