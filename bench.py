@@ -82,12 +82,39 @@ def _bench_sponza():
     return _measure(cs, 1920, 1080, 1, 50)
 
 
+def _bench_sponza_production():
+    """Production-diversity flagship (VERDICT r4 item 3): the 259k-triangle
+    terrain split into 16 materials of every kind, 4 image textures, 4
+    emitters of all three shapes — the shape of the reference's showcase
+    renders (README.md:23-27) at BVH scale, 1920x1080."""
+    from scenes import create_sponza_production_scene
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(width=1920, height=1080, samples_per_pixel=1, seed=1)
+    cs = compile_scene(create_sponza_production_scene(cfg))
+    return _measure(cs, 1920, 1080, 1, 50)
+
+
+def _bench_many_lights():
+    """64-emitter BVH scene through the vectorized light-pdf fallback
+    (VERDICT r4 item 6; reference cost center: pdf.rs:88-102), 960x540."""
+    from scenes import create_many_light_scene
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(width=960, height=540, samples_per_pixel=1, seed=1)
+    cs = compile_scene(create_many_light_scene(cfg, n_lights=64))
+    return _measure(cs, 960, 540, 1, 50)
+
+
 def main():
     # Each workload is measured and reported independently so one crash can
     # never erase the others' numbers; the headline metric is printed LAST
     # (the driver records the final JSON line).
     ks_mrays = sponza_mrays = None
     ks_err = sponza_err = None
+    extra = {}
 
     try:
         ks_mrays = _bench_kitchen_sink()
@@ -101,6 +128,21 @@ def main():
         print(json.dumps({"metric": "kitchen_sink_mrays_per_s",
                           "error": ks_err}), flush=True)
 
+    for name, fn in (("sponza_production_mrays_per_s",
+                      _bench_sponza_production),
+                     ("many_lights_mrays_per_s", _bench_many_lights)):
+        try:
+            v = fn()
+            extra[name] = round(v, 3)
+            print(json.dumps({"metric": name, "value": round(v, 3),
+                              "unit": "Mrays/s",
+                              "vs_baseline": round(v / NORTH_STAR, 4)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            extra[name + "_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(json.dumps({"metric": name,
+                              "error": extra[name + "_error"]}), flush=True)
+
     try:
         sponza_mrays = _bench_sponza()
     except Exception as e:  # noqa: BLE001
@@ -113,6 +155,7 @@ def main():
             "metric": "sponza_1080p_mrays_per_s",
             "value": round(sponza_mrays, 3), "unit": "Mrays/s",
             "vs_baseline": round(sponza_mrays / NORTH_STAR, 4),
+            **extra,
         }
         if ks_mrays is not None:
             headline["kitchen_sink_mrays_per_s"] = round(ks_mrays, 3)

@@ -88,10 +88,12 @@ def train_step_sharded(cs: CompiledScene, target, mesh, *, width, height,
 
     # NOTE: the shard_map MUST run under jit — the remat'd bounce scan in
     # integrator.trace is a closed_call that eager shard_map cannot evaluate.
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation (the Pallas fast path runs inside each shard)
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("tile"), P("tile"), P("tile"), P("sample")),
-             out_specs=(P(), P()))
+             out_specs=(P(), P()), check_vma=False)
     def step(cs_rep, pix_shard, tgt_shard, valid, sample_off):
 
         def loss_fn(params):

@@ -94,9 +94,11 @@ N_WIN = BLOCK // WIN
 
 # trace-time ablation knobs for tools/ microbenches (jax.clear_caches()
 # after flipping): skip the drain intersects / the treelet DMAs entirely
-# to attribute kernel time between walk, DMA and intersect work
+# to attribute kernel time between walk, DMA and intersect work; skip the
+# near-first child ordering to measure its walk cost vs pruning benefit
 _DEBUG_SKIP_INTERSECT = False
 _DEBUG_SKIP_DMA = False
+_DEBUG_NO_PROJ = False
 
 
 def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
@@ -383,9 +385,12 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             # ids fall outside the top tree; its push count is 0 so the
             # garbage ordering is never consumed)
             n1 = 2 * node + 1
-            p1 = box_proj(jnp.minimum(n1, last_node))
-            p2 = box_proj(jnp.minimum(n1 + 1, last_node))
-            sw = (p2 < p1).astype(jnp.int32)
+            if _DEBUG_NO_PROJ:
+                sw = jnp.int32(0)
+            else:
+                p1 = box_proj(jnp.minimum(n1, last_node))
+                p2 = box_proj(jnp.minimum(n1 + 1, last_node))
+                sw = (p2 < p1).astype(jnp.int32)
             fq_ref[ft2] = n1 + sw
             fq_ref[ft2 + 1] = n1 + 1 - sw
             tl_ref[tt2] = (node - jnp.int32(n_troots - 1)

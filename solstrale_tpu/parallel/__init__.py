@@ -89,7 +89,7 @@ def render_sample_sharded(cs, sample, seed, mesh, *, width, height, max_depth,
 
 
 def render_batch_sharded(cs, sample_start, n_samples, seed, mesh, *, width,
-                         height, max_depth):
+                         height, max_depth, shard_stats=False):
     """A whole progressive sample batch sharded over the mesh, with each
     tile-shard running the work-queue wavefront (integrator.trace_queued) —
     the ≈100%-occupancy integrator — over its own pixel partition.
@@ -100,7 +100,10 @@ def render_batch_sharded(cs, sample_start, n_samples, seed, mesh, *, width,
     ``sample``. Counter-based RNG keyed on (pixel, sample) makes every
     partition bit-identical to the single-device render (test_sharding.py).
 
-    Returns (color_image (H, W, 3) summed over n_samples, total segments).
+    Returns (color_image (H, W, 3) summed over n_samples, total segments);
+    with shard_stats=True additionally a (n_tile,) per-tile-shard segment
+    count (load-balance telemetry: uneven tile difficulty is the analogue
+    of the reference's work-stealing row imbalance, renderer/mod.rs:241-248).
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -124,20 +127,23 @@ def render_batch_sharded(cs, sample_start, n_samples, seed, mesh, *, width,
     @jax.jit
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("tile"), P("tile"), P("sample"), P(), P()),
-             out_specs=(P("tile"), P()), check_vma=False)
+             out_specs=(P("tile"), P(), P("tile")), check_vma=False)
     def shard_fn(cs_rep, pix_shard, n_valid, sample_off, sample_base, seed_):
         accum, segs = integrator.trace_queued(
             cs_rep, pix_shard, sample_base + sample_off[0], per_shard,
             seed_, width=width, height=height, max_depth=max_depth,
             n_valid=n_valid[0])
         accum = jax.lax.psum(accum, "sample")
-        segs = jax.lax.psum(segs, ("tile", "sample"))
-        return accum, segs
+        segs_tile = jax.lax.psum(segs, "sample")      # this tile, all samples
+        segs_tot = jax.lax.psum(segs_tile, "tile")
+        return accum, segs_tot, jnp.reshape(segs_tile, (1,))
 
-    accum, segs = shard_fn(cs, pix, valid_counts, sample_offsets,
-                           jnp.asarray(sample_start, jnp.int32),
-                           jnp.asarray(seed, jnp.int32))
+    accum, segs, segs_per_tile = shard_fn(
+        cs, pix, valid_counts, sample_offsets,
+        jnp.asarray(sample_start, jnp.int32), jnp.asarray(seed, jnp.int32))
     color = accum[:n_pix].reshape(height, width, 3)[::-1]
+    if shard_stats:
+        return color, segs, segs_per_tile
     return color, segs
 
 

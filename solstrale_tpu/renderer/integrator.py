@@ -716,8 +716,10 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         acc_len=zero_l,
         fold=fold_init(zero_l),
         next_q=jnp.int32(lanes),       # next unclaimed queue position
-        # per-channel accumulators: full-lane (n_pix,) planes (geo/soa.py)
-        accum=tuple(jnp.zeros((n_pix,), jnp.float32) for _ in range(3)),
+        # (n_pix, 3) accumulator: ONE row-scatter per iteration (three
+        # per-channel scatters serialize on the TPU at ~1 ms each; a row
+        # scatter's cost is flat in row width, like row gathers)
+        accum=jnp.zeros((n_pix, 3), jnp.float32),
         segments=jnp.float32(0.0),
         iters=jnp.int32(0),
     )
@@ -760,10 +762,9 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
         L = fold_resolve(state["fold"], term_color)
         att = jnp.where(term_af > 0.0, 1.0 / (1.0 + term_af * term_acc), 1.0)
-        accum = tuple(
-            state["accum"][c].at[pslot].add(
-                jnp.where(terminal, L[c] * att, 0.0))
-            for c in range(3))
+        updates = jnp.stack(
+            [jnp.where(terminal, L[c] * att, 0.0) for c in range(3)], -1)
+        accum = state["accum"].at[pslot].add(updates)
 
         # fold this bounce's scatter level; reset regenerated lanes
         A, B, dead, outer = fold_scatter(state["fold"], sc["tape_color"],

@@ -6,9 +6,9 @@ import numpy as np
 
 from solstrale_tpu import (Blend, Bvh, CameraConfig, ConstantMedium,
                            Dielectric, DiffuseLight, ImageMap, Lambertian,
-                           NopTransformer, Quad, RotationY, Scene, SolidColor,
-                           Sphere, Transformations, Translation, Triangle,
-                           load_normal_texture, new_box)
+                           Metal, NopTransformer, Quad, RotationY, Scene,
+                           SolidColor, Sphere, Transformations, Translation,
+                           Triangle, load_normal_texture, new_box)
 
 REF = "/root/reference"
 
@@ -262,6 +262,143 @@ def create_sponza_class_scene(render_config, n_cells=362, seed=7,
     # z=14 the view is the unlit back of that wall and the whole render
     # is black — caught in round 4; every prior sponza number measured
     # that degenerate 2-segment workload
+    camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
+                          look_from=(0.0, 6.0, 9.0), look_at=(0.0, 0.0, 0.0))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def _terrain_grid(n_cells, seed):
+    """Displaced-terrain vertex grid + tiled UV grid (shared by the
+    sponza-class fixtures)."""
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-10.0, 10.0, n_cells + 1)
+    zs = np.linspace(-10.0, 10.0, n_cells + 1)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = (np.sin(X * 0.7) * np.cos(Z * 0.9)
+         + 0.15 * rng.standard_normal(X.shape))
+    P = np.stack([X, Y, Z], -1)
+    U = X / 20.0 * (n_cells / 8.0)
+    V = Z / 20.0 * (n_cells / 8.0)
+    UV = np.stack([U, V], -1)
+    return P, UV
+
+
+def _region_mesh(P, UV, i0, i1, j0, j1, material):
+    """TriangleMesh over the cell block [i0, i1) x [j0, j1)."""
+    from solstrale_tpu.scene import TriangleMesh
+
+    Pb = P[i0:i1 + 1, j0:j1 + 1]
+    UVb = UV[i0:i1 + 1, j0:j1 + 1]
+    a, b, c, d = Pb[:-1, :-1], Pb[1:, :-1], Pb[1:, 1:], Pb[:-1, 1:]
+    verts = np.concatenate(
+        [np.stack([a, b, c], axis=2).reshape(-1, 3, 3),
+         np.stack([a, c, d], axis=2).reshape(-1, 3, 3)], 0)
+    ua, ub, uc, ud = (UVb[:-1, :-1], UVb[1:, :-1], UVb[1:, 1:],
+                      UVb[:-1, 1:])
+    uvs = np.concatenate(
+        [np.stack([ua, ub, uc], axis=2).reshape(-1, 3, 2),
+         np.stack([ua, uc, ud], axis=2).reshape(-1, 3, 2)], 0)
+    return TriangleMesh(verts, material, uvs=uvs)
+
+
+def create_sponza_production_scene(render_config, n_cells=360, seed=7):
+    """Production-diversity sponza-class workload: the displaced terrain
+    (2*n_cells^2 = 259,200 triangles) split into a 4x4 grid of material
+    regions covering every material kind — image-textured and solid
+    lambertians (some normal-mapped), fuzzy and textured metals,
+    dielectrics, stochastic blends — plus 4 textures and 4 emitters of all
+    three light shapes. This is the shape of the reference's showcase
+    renders (multi-material multi-texture OBJ scenes, README.md:23-27;
+    MTL material maps loader/obj.rs:57-76), at BVH scale: it exercises
+    texture-arena contention, blend/dielectric/metal dispatch and the
+    O(#lights) NEE pdf loop (pdf.rs:88-102) in the same frame as the
+    262k-prim traversal."""
+    wall_c = ImageMap.load(tex("wall_color.png"))
+    wall_n = load_normal_texture(tex("wall_n.png"))
+    tex_j = ImageMap.load(tex("tex.jpg"))
+    checker = ImageMap.load(tex("checker.jpg"))
+    earth = ImageMap.load(tex("earth_height.jpg"))
+
+    mats = [
+        Lambertian(wall_c, wall_n),
+        Lambertian(tex_j),
+        Lambertian(checker),
+        Lambertian(SolidColor(0.8, 0.3, 0.25)),
+        Metal(SolidColor(0.9, 0.8, 0.6), None, 0.1),
+        Metal(checker, None, 0.3),
+        Dielectric(SolidColor(1.0, 1.0, 1.0), None, 1.5),
+        Blend(Lambertian(wall_c), Metal(SolidColor(0.8, 0.8, 0.9),
+                                        None, 0.05), 0.5),
+        Lambertian(earth),
+        Metal(SolidColor(0.7, 0.7, 0.8), None, 0.05),
+        Blend(Lambertian(checker), Dielectric(SolidColor(1.0, 1.0, 1.0),
+                                              None, 1.3), 0.3),
+        Lambertian(SolidColor(0.2, 0.5, 0.8), wall_n),
+        Metal(wall_c, None, 0.2),
+        Dielectric(SolidColor(0.9, 0.95, 1.0), None, 1.1),
+        Blend(Metal(tex_j, None, 0.4),
+              Lambertian(SolidColor(0.6, 0.6, 0.2)), 0.7),
+        Lambertian(tex_j, wall_n),
+    ]
+    P, UV = _terrain_grid(n_cells, seed)
+    step = n_cells // 4
+    world = []
+    for i in range(4):
+        for j in range(4):
+            world.append(_region_mesh(P, UV, i * step, (i + 1) * step,
+                                      j * step, (j + 1) * step,
+                                      mats[i * 4 + j]))
+    world += [
+        Quad((-12, -3, -12), (24, 0, 0), (0, 0, 24),
+             Lambertian(SolidColor(0.5, 0.5, 0.5))),
+        Quad((-12, -3, -12), (24, 0, 0), (0, 14, 0),
+             Lambertian(SolidColor(0.6, 0.5, 0.4))),
+        Quad((-12, -3, 12), (24, 0, 0), (0, 14, 0),
+             Lambertian(SolidColor(0.4, 0.5, 0.6))),
+        # 4 emitters, all three light shapes (scenes.rs:17-122 uses the
+        # same trio on the kitchen-sink scene)
+        Quad((-4, 10.5, -4), (8, 0, 0), (0, 0, 8),
+             DiffuseLight(12.0, 12.0, 12.0)),
+        Sphere((-8.0, 7.0, -8.0), 1.2, DiffuseLight(18.0, 14.0, 8.0)),
+        Sphere((8.0, 7.0, 8.0), 1.2, DiffuseLight(8.0, 12.0, 18.0)),
+        Triangle((-3, 9.0, 11.5), (3, 9.0, 11.5), (0, 11.5, 11.5),
+                 DiffuseLight(14.0, 14.0, 14.0)),
+    ]
+    camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
+                          look_from=(0.0, 6.0, 9.0), look_at=(0.0, 0.0, 0.0))
+    return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
+
+
+def create_many_light_scene(render_config, n_lights=64, n_cells=96, seed=3):
+    """Many-light fixture: a displaced-terrain BVH scene lit by an
+    ``n_lights`` grid of sphere emitters (plus one quad emitter). Exercises
+    the vectorized (R, L) light-pdf fallback above _MEAN3_UNROLL_MAX —
+    the reference pays O(#lights) re-intersections per shading event
+    (pdf.rs:88-102), the cost center a real many-emitter sponza hits
+    first."""
+    from solstrale_tpu.scene import TriangleMesh
+
+    P, UV = _terrain_grid(n_cells, seed)
+    a, b, c, d = P[:-1, :-1], P[1:, :-1], P[1:, 1:], P[:-1, 1:]
+    verts = np.concatenate(
+        [np.stack([a, b, c], axis=2).reshape(-1, 3, 3),
+         np.stack([a, c, d], axis=2).reshape(-1, 3, 3)], 0)
+    world = [TriangleMesh(verts, Lambertian(SolidColor(0.7, 0.7, 0.7))),
+             Quad((-4, 10.5, -4), (8, 0, 0), (0, 0, 8),
+                  DiffuseLight(6.0, 6.0, 6.0))]
+    side = int(np.ceil(np.sqrt(n_lights - 1)))
+    rng = np.random.default_rng(seed)
+    k = 0
+    for i in range(side):
+        for j in range(side):
+            if k >= n_lights - 1:
+                break
+            x = -9.0 + 18.0 * i / max(side - 1, 1)
+            z = -9.0 + 18.0 * j / max(side - 1, 1)
+            col = 4.0 + 8.0 * rng.random(3)
+            world.append(Sphere((x, 6.0 + 2.0 * rng.random(), z), 0.3,
+                                DiffuseLight(*col)))
+            k += 1
     camera = CameraConfig(vertical_fov_degrees=40.0, aperture_size=0.0,
                           look_from=(0.0, 6.0, 9.0), look_at=(0.0, 0.0, 0.0))
     return Scene(Bvh(world), camera, (0.0, 0.0, 0.0), render_config)
