@@ -804,9 +804,8 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
 
     state = jax.lax.while_loop(cond, body, state)
     if stats:
-        return (soa.to_aos(state["accum"]), state["segments"],
-                state["iters"])
-    return soa.to_aos(state["accum"]), state["segments"]
+        return state["accum"], state["segments"], state["iters"]
+    return state["accum"], state["segments"]
 
 
 def trace_regenerative(cs: CompiledScene, pix, sample_start, n_samples, seed,
