@@ -275,7 +275,7 @@ def onehot_matmul_t(idx, n_rows, table, chunk=CHUNK):
     return out
 
 
-def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
+def hit_attributes_soa(s: Solids, o, d, t, kind, idx, has_spheres=True):
     """Recompute full hit attributes for winning (kind, idx, t) in SoA form
     (o, d and all returned vectors are component tuples; uv is (u, v)):
     winner parameters come from one one-hot matmul / row gather over the
@@ -285,16 +285,42 @@ def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
     Mirrors RayHit construction in sphere.rs:84-107 / quad.rs:164-193 /
     triangle.rs:142-172: geometric normal flipped to face the ray, tangent
     frame for bump mapping, texture UV, front_face flag, material id.
+
+    has_spheres=False (a trace-time constant from the compiled scene's
+    "spheres" feature) skips the whole sphere branch — the spherical-uv
+    arccos/arctan2 transcendentals are the most expensive ops here, and a
+    sphere-free scene (the sponza fixture) pays them per bounce for
+    nothing.
     """
     point = (o[0] + d[0] * t, o[1] + d[1] * t, o[2] + d[2] * t)
     n_q = s.qd_q.shape[0]
     n_pl = s.pl_attr.shape[0]
-    n_sph = s.sph_attr.shape[0]
 
     is_s = (kind == KIND_SPHERE)
     planar_slot = jnp.where(kind == KIND_TRIANGLE, n_q + idx, idx)
     planar_slot = jnp.clip(planar_slot, 0, n_pl - 1)
     ap = onehot_matmul_t(planar_slot, n_pl, s.pl_attr)    # (24, R)
+
+    # --- planar derived (quad.rs:164-193 / triangle.rs:142-172) ---
+    n = (ap[0], ap[1], ap[2])
+    bu = soa.dot3(point, (ap[3], ap[4], ap[5])) + ap[6]
+    bv = soa.dot3(point, (ap[7], ap[8], ap[9])) + ap[10]
+    tangent_p = (ap[11], ap[12], ap[13])
+    bitangent_p = (ap[14], ap[15], ap[16])
+    uv_p = (ap[17] + bu * ap[19] + bv * ap[21],
+            ap[18] + bu * ap[20] + bv * ap[22])
+    mat_p = ap[23]
+    front_p = soa.dot3(d, n) < 0.0
+    normal_p = soa.where3(front_p, n, soa.vneg(n))
+
+    if not has_spheres:
+        return dict(
+            point=point, normal=normal_p, tangent=tangent_p,
+            bitangent=bitangent_p, uv=uv_p, front_face=front_p,
+            mat=mat_p.astype(jnp.int32),
+        )
+
+    n_sph = s.sph_attr.shape[0]
     asp = onehot_matmul_t(jnp.clip(idx, 0, n_sph - 1), n_sph, s.sph_attr)
 
     # --- sphere derived (sphere.rs:84-107) ---
@@ -310,18 +336,6 @@ def hit_attributes_soa(s: Solids, o, d, t, kind, idx):
     tangent_s = soa.unit3((n_raw[2], jnp.zeros_like(n_raw[2]), -n_raw[0]))
     bitangent_s = soa.cross3(n_raw, tangent_s)  # unnormalized (sphere.rs:89-90)
     mat_s = asp[4]
-
-    # --- planar derived (quad.rs:164-193 / triangle.rs:142-172) ---
-    n = (ap[0], ap[1], ap[2])
-    bu = soa.dot3(point, (ap[3], ap[4], ap[5])) + ap[6]
-    bv = soa.dot3(point, (ap[7], ap[8], ap[9])) + ap[10]
-    tangent_p = (ap[11], ap[12], ap[13])
-    bitangent_p = (ap[14], ap[15], ap[16])
-    uv_p = (ap[17] + bu * ap[19] + bv * ap[21],
-            ap[18] + bu * ap[20] + bv * ap[22])
-    mat_p = ap[23]
-    front_p = soa.dot3(d, n) < 0.0
-    normal_p = soa.where3(front_p, n, soa.vneg(n))
 
     return dict(
         point=point,
@@ -378,7 +392,7 @@ def medium_hit(medium, o, d, t_solid, u_flight):
 
 # --- NEE light table ops (pdf.rs:88-102 semantics) ------------------------
 
-def light_pdf_mean3(lights: Lights, o, d):
+def light_pdf_mean3(lights: Lights, o, d, kinds=None):
     """Mean over lights of the per-light sampling pdf, SoA form: o, d are
     (R,) component tuples, result (R,). Statically unrolled over the light
     list so every op runs on full-lane (R,) arrays — the (R, L) broadcast
@@ -391,9 +405,15 @@ def light_pdf_mean3(lights: Lights, o, d):
 
     The static unroll scales HLO size/compile time linearly with light
     count; above _MEAN3_UNROLL_MAX lights fall back to the vectorized
-    (R, L) sweep (same math, batched)."""
+    (R, L) sweep (same math, batched).
+
+    kinds (optional): the compiled scene's static per-light kind tuple —
+    with it each light's unrolled step compiles ONLY its own shape branch
+    (sphere solid-angle or planar dist²/cosθ·area) instead of both."""
     tmin, tmax = RAY_T_MIN, INF
     n_l = lights.kind.shape[0]
+    if kinds is not None and len(kinds) != n_l:
+        kinds = None
     if n_l > _MEAN3_UNROLL_MAX:
         return jnp.mean(light_pdf_values(lights, soa.to_aos(o),
                                          soa.to_aos(d)), axis=1)
@@ -401,6 +421,61 @@ def light_pdf_mean3(lights: Lights, o, d):
     acc = jnp.zeros_like(o[0])
     for i in range(n_l):
         kind_i = lights.kind[i]
+        static_kind = kinds[i] if kinds is not None else None
+        if static_kind is not None:
+            p0 = (lights.p0[i, 0], lights.p0[i, 1], lights.p0[i, 2])
+            if static_kind == KIND_SPHERE:
+                oc = soa.vsub(o, p0)
+                half_b = soa.dot3(oc, d)
+                radius = lights.radius[i]
+                dist_sq = soa.dot3(oc, oc)
+                c2 = dist_sq - radius * radius
+                disc = half_b * half_b - dd * c2
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r1 = (-half_b - sq) / dd
+                r2 = (-half_b + sq) / dd
+                sph_hit = (disc >= 0.0) & (_contains(r1, tmin, tmax)
+                                           | _contains(r2, tmin, tmax))
+                cos_theta_max = jnp.sqrt(1.0 - radius * radius / dist_sq)
+                solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
+                acc = acc + jnp.where(sph_hit, 1.0 / solid_angle, 0.0)
+                continue
+            nrm = (lights.normal[i, 0], lights.normal[i, 1],
+                   lights.normal[i, 2])
+            v_e = (lights.p2[i, 0], lights.p2[i, 1], lights.p2[i, 2])
+            u_e = (lights.p1[i, 0], lights.p1[i, 1], lights.p1[i, 2])
+            if static_kind == KIND_QUAD:
+                denom = soa.dot3(d, nrm)
+                t_pl = (lights.d[i] - soa.dot3(o, nrm)) / denom
+                hp = (o[0] + d[0] * t_pl, o[1] + d[1] * t_pl,
+                      o[2] + d[2] * t_pl)
+                pv = soa.vsub(hp, p0)
+                w = (lights.w[i, 0], lights.w[i, 1], lights.w[i, 2])
+                pu = soa.dot3(w, soa.cross3(pv, v_e))
+                pvv = soa.dot3(w, soa.cross3(u_e, pv))
+                ok_pl = ((jnp.abs(denom) >= ALMOST_ZERO)
+                         & (pu >= 0.0) & (pu <= 1.0) & (pvv >= 0.0)
+                         & (pvv <= 1.0) & _contains(t_pl, tmin, tmax))
+            else:  # triangle: Moller-Trumbore on (v0, e1, e2)
+                pvec = soa.cross3(d, v_e)
+                det = soa.dot3(u_e, pvec)
+                inv_det = 1.0 / det
+                tvec = soa.vsub(o, p0)
+                qvec = soa.cross3(tvec, u_e)
+                bu = soa.dot3(tvec, pvec) * inv_det
+                bv = soa.dot3(d, qvec) * inv_det
+                t_pl = soa.dot3(v_e, qvec) * inv_det
+                denom = soa.dot3(d, (lights.normal[i, 0],
+                                     lights.normal[i, 1],
+                                     lights.normal[i, 2]))
+                ok_pl = ((jnp.abs(det) >= ALMOST_ZERO)
+                         & (bu >= 0.0) & (bu <= 1.0) & (bv >= 0.0)
+                         & (bu + bv <= 1.0) & _contains(t_pl, tmin, tmax))
+            cos_planar = jnp.abs(denom) / jnp.sqrt(dd)
+            acc = acc + jnp.where(
+                ok_pl, t_pl * t_pl * dd / (cos_planar * lights.area[i]),
+                0.0)
+            continue
         p0 = (lights.p0[i, 0], lights.p0[i, 1], lights.p0[i, 2])
         # sphere branch
         oc = soa.vsub(o, p0)
@@ -460,12 +535,20 @@ def light_pdf_mean3(lights: Lights, o, d):
     return acc / n_l
 
 
-def sample_light_direction3(lights: Lights, o, pick, r1, r2):
+def sample_light_direction3(lights: Lights, o, pick, r1, r2, kinds=None):
     """SoA light-direction sampling (pdf.rs:98-101): o is a component
     tuple, returns a component tuple. One one-hot lookup transposed once;
-    all vector math full-lane."""
+    all vector math full-lane. kinds (optional static tuple): when every
+    light shares a shape class, only that class's sampler compiles (a
+    planar-lights-only scene skips the cone sampler's ONB + sqrt chain
+    entirely)."""
     from . import rng as _rng
     from ..geo import soa as _s
+
+    if kinds is not None and len(kinds) != lights.attr.shape[0]:
+        kinds = None
+    any_sphere = kinds is None or any(k == KIND_SPHERE for k in kinds)
+    any_planar = kinds is None or any(k != KIND_SPHERE for k in kinds)
 
     la = onehot_matmul_t(pick, lights.attr.shape[0], lights.attr)  # (11, R)
     kind = la[0].astype(jnp.int32)
@@ -474,17 +557,24 @@ def sample_light_direction3(lights: Lights, o, pick, r1, r2):
     p2 = (la[7], la[8], la[9])
     radius = la[10]
 
-    # sphere: cone towards center
-    to_c = _s.vsub(p0, o)
-    dist_sq = _s.dot3(to_c, to_c)
-    tan, bit, nrm = _s.onb_from_w3(to_c)
-    local = _rng.to_sphere3(radius, dist_sq, r1, r2)
-    dir_sphere = _s.onb_local3(tan, bit, nrm, local)
+    dir_sphere = dir_planar = None
+    if any_sphere:
+        # sphere: cone towards center
+        to_c = _s.vsub(p0, o)
+        dist_sq = _s.dot3(to_c, to_c)
+        tan, bit, nrm = _s.onb_from_w3(to_c)
+        local = _rng.to_sphere3(radius, dist_sq, r1, r2)
+        dir_sphere = _s.onb_local3(tan, bit, nrm, local)
 
-    # planar: point on parallelogram
-    dir_planar = _s.vsub(_s.vadd(p0, _s.vadd(_s.vscale(p1, r1),
-                                             _s.vscale(p2, r2))), o)
+    if any_planar:
+        # planar: point on parallelogram
+        dir_planar = _s.vsub(_s.vadd(p0, _s.vadd(_s.vscale(p1, r1),
+                                                 _s.vscale(p2, r2))), o)
 
+    if not any_planar:
+        return dir_sphere
+    if not any_sphere:
+        return dir_planar
     return _s.where3(kind == KIND_SPHERE, dir_sphere, dir_planar)
 
 

@@ -492,13 +492,19 @@ def _spread_bits(v):
     return v
 
 
-def _ray_sort_key(kbvh, oc, dc, validb, bits):
+def _ray_sort_key(kbvh, oc, dc, validb, bits, mode="octant"):
     """Packet-coherence sort key: origin Morton cell (``bits`` bits/axis over
     the scene root box) then direction octant. Rays sharing a cell+octant form
     a narrow frustum whose treelet working set is small — the difference
     between ~5 ms and ~250 ms per 131k-ray launch on divergent interior
     bounces (measured). Parked rays (zero direction) key to the end so
-    they compact into all-dead packets the kernel skips outright."""
+    they compact into all-dead packets the kernel skips outright.
+
+    mode="dirbin" additionally quantizes the direction SHAPE (the
+    normalized |dx|, |dy| barycentric components, sign already in the
+    octant) to 2 bits each between the octant and the Morton cell: a
+    stripe then holds a ~25-degree direction cone from a compact region
+    instead of a full octant."""
     rootmin = kbvh.top_nodes[0, 0:3]
     rootmax = kbvh.top_nodes[0, 3:6]
     m = jnp.int32(0)
@@ -513,7 +519,15 @@ def _ray_sort_key(kbvh, oc, dc, validb, bits):
     # octant-major: each 128-ray stripe then holds one direction octant
     # from a compact region — the narrowest per-stripe frustum (measured
     # 1.53 -> 1.63 Mrays/s end to end vs cell-major)
-    key = (octant << (3 * bits)) | m
+    if mode == "dirbin":
+        ax, ay, az = jnp.abs(dc[0]), jnp.abs(dc[1]), jnp.abs(dc[2])
+        s = jnp.maximum(ax + ay + az, 1e-30)
+        bx = jnp.minimum((ax / s * 4.0).astype(jnp.int32), 3)
+        by = jnp.minimum((ay / s * 4.0).astype(jnp.int32), 3)
+        key = ((octant << (3 * bits + 4)) | (bx << (3 * bits + 2))
+               | (by << (3 * bits)) | m)
+    else:
+        key = (octant << (3 * bits)) | m
     return jnp.where(validb > 0.0, key, jnp.int32(1 << 30))
 
 
@@ -540,17 +554,20 @@ def bvh_planar_hit_pallas(kbvh, o, d, tmin, interpret=False):
     from .detached import detached_call
 
     bits = min(int(os.environ.get("SOLSTRALE_SORT_BITS", "6")), 8)
+    mode = os.environ.get("SOLSTRALE_SORT_KEY", "octant")
     # detached geometry: the kernel has no AD rule; the zero-backward
     # custom_vjp matches the XLA path's gradients for every differentiated
     # parameter (see ops/detached.py)
     return detached_call(_bvh_planar_hit, kbvh, o, d, tmin,
                          interpret=interpret, sort=_ray_sort_enabled(),
-                         sort_bits=bits)
+                         sort_bits=bits, sort_mode=mode)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "sort", "sort_bits"))
-def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort, sort_bits=6):
+                   static_argnames=("interpret", "sort", "sort_bits",
+                                    "sort_mode"))
+def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort, sort_bits=6,
+                    sort_mode="octant"):
     # o, d: (R, 3) arrays or SoA component tuples (the integrator's native
     # form — avoids column extracts on the hot path)
     oc = o if isinstance(o, tuple) else (o[:, 0], o[:, 1], o[:, 2])
@@ -565,7 +582,7 @@ def _bvh_planar_hit(kbvh, o, d, tmin, interpret, sort, sort_bits=6):
     cols = jnp.stack(list(oc) + list(dc) + [tminb, validb], axis=1)
     order = None
     if r >= 4 * BLOCK and sort:
-        key = _ray_sort_key(kbvh, oc, dc, validb, sort_bits)
+        key = _ray_sort_key(kbvh, oc, dc, validb, sort_bits, sort_mode)
         order = jnp.argsort(key)
         cols = cols[order]          # ONE row-gather for all 8 components
 

@@ -167,7 +167,8 @@ def full_hit_attributes(cs, o, d, t, kind, idx, pix, sample, bounce, seed):
     """hit_attributes_soa + medium overrides (random phase normal, unit
     tangents, zero uv, back face, phase material —
     constant_medium.rs:63-74). o, d and returned vectors are SoA tuples."""
-    attrs = hit_attributes_soa(cs.solids, o, d, t, kind, idx)
+    attrs = hit_attributes_soa(cs.solids, o, d, t, kind, idx,
+                               has_spheres="spheres" in cs.features)
     if cs.media:
         is_med = (kind == KIND_MEDIUM)
         r1, r2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_PHASE, seed)
@@ -273,58 +274,72 @@ def scatter(cs: CompiledScene, o, d, attrs, pix, sample, bounce, seed):
     atten = row["atten"]
 
     # --- pdf-mixture scatter (material/mod.rs:191-207, 396-410) ---
+    # static feature gates: materials kinds absent from the compiled scene
+    # compile no code (closed-world specialization of the reference's
+    # enum dispatch, material/mod.rs:134-150). Bit-identical: the skipped
+    # selects would pick all-False branches.
+    has_iso = "isotropic" in cs.features
+    has_metal = "metal" in cs.features
+    has_diel = "dielectric" in cs.features
+
     r1, r2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_COSINE, seed)
     ct, cb, cn = onb_from_w3(s_normal)
-    bsdf_dir = where3(is_iso,
-                      rng.unit_vector3(r1, r2),
-                      onb_local3(ct, cb, cn, rng.cosine_direction3(r1, r2)))
+    cos_dir = onb_local3(ct, cb, cn, rng.cosine_direction3(r1, r2))
+    bsdf_dir = (where3(is_iso, rng.unit_vector3(r1, r2), cos_dir)
+                if has_iso else cos_dir)
 
     n_lights = cs.lights.kind.shape[0]
     u_pick = rng.uniform(pix, sample, bounce, rng.P_LIGHT_PICK, seed)
     pick = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
     l1, l2, _, _ = rng.uniform4(pix, sample, bounce, rng.P_LIGHT_SAMPLE, seed)
     light_dir = sample_light_direction3(cs.lights, attrs["point"], pick,
-                                        l1, l2)
+                                        l1, l2, kinds=cs.light_kinds)
 
     u_coin = rng.uniform(pix, sample, bounce, rng.P_MIX_COIN, seed)
     pdf_dir = where3(u_coin < 0.5, light_dir, bsdf_dir)
 
-    light_val = light_pdf_mean3(cs.lights, attrs["point"], pdf_dir)
+    light_val = light_pdf_mean3(cs.lights, attrs["point"], pdf_dir,
+                                kinds=cs.light_kinds)
     unit_pdf_dir = unit3(pdf_dir)
     cos_value = jnp.maximum(dot3(unit_pdf_dir, unit3(s_normal)),
                             0.0) / jnp.pi
     sphere_value = 1.0 / (4.0 * jnp.pi)
-    bsdf_val = jnp.where(is_iso, sphere_value, cos_value)
+    bsdf_val = (jnp.where(is_iso, sphere_value, cos_value)
+                if has_iso else cos_value)
     mix_val = 0.5 * light_val + 0.5 * bsdf_val
 
     cos_sc = dot3(s_normal, unit_pdf_dir)
     lamb_sc = jnp.where(cos_sc < 0.0, 0.0, cos_sc / jnp.pi)
-    scat_pdf = jnp.where(is_iso, sphere_value, lamb_sc)
+    scat_pdf = (jnp.where(is_iso, sphere_value, lamb_sc)
+                if has_iso else lamb_sc)
     prob = scat_pdf / mix_val
 
-    # --- metal (material/mod.rs:239-249) ---
-    f1, f2, f3, _ = rng.uniform4(pix, sample, bounce, rng.P_FUZZ, seed)
-    reflected = reflect3(unit3(d), s_normal)
-    metal_dir = soa.vadd(reflected,
-                         vscale(rng.in_unit_sphere3(f1, f2, f3),
-                                row["fuzz"]))
+    new_dir = pdf_dir
+    if has_metal:
+        # --- metal (material/mod.rs:239-249) ---
+        f1, f2, f3, _ = rng.uniform4(pix, sample, bounce, rng.P_FUZZ, seed)
+        reflected = reflect3(unit3(d), s_normal)
+        metal_dir = soa.vadd(reflected,
+                             vscale(rng.in_unit_sphere3(f1, f2, f3),
+                                    row["fuzz"]))
+        new_dir = where3(is_metal, metal_dir, new_dir)
 
-    # --- dielectric (material/mod.rs:279-316) ---
-    ior = row["ior"]
-    rr = jnp.where(attrs["front_face"], 1.0 / ior, ior)
-    udir = unit3(d)
-    cos_t = jnp.minimum(dot3(vneg(udir), s_normal), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    cannot = rr * sin_t > 1.0
-    r0 = (1.0 - rr) / (1.0 + rr)
-    r0 = r0 * r0
-    reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-    u_d = rng.uniform(pix, sample, bounce, rng.P_DIELECTRIC, seed)
-    diel_dir = where3(cannot | (reflectance > u_d),
-                      reflect3(udir, s_normal),
-                      refract3(udir, s_normal, rr))
-
-    new_dir = where3(is_pdf, pdf_dir, where3(is_metal, metal_dir, diel_dir))
+    if has_diel:
+        # --- dielectric (material/mod.rs:279-316) ---
+        ior = row["ior"]
+        rr = jnp.where(attrs["front_face"], 1.0 / ior, ior)
+        udir = unit3(d)
+        cos_t = jnp.minimum(dot3(vneg(udir), s_normal), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        cannot = rr * sin_t > 1.0
+        r0 = (1.0 - rr) / (1.0 + rr)
+        r0 = r0 * r0
+        reflectance = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+        u_d = rng.uniform(pix, sample, bounce, rng.P_DIELECTRIC, seed)
+        diel_dir = where3(cannot | (reflectance > u_d),
+                          reflect3(udir, s_normal),
+                          refract3(udir, s_normal, rr))
+        new_dir = where3(is_diel, diel_dir, new_dir)
 
     # Detached-sampling estimator: gradients flow through color/emission
     # values, never through sample directions or pdf weights (the

@@ -186,12 +186,19 @@ class CompiledScene:
     camera: CameraSoA
     bvh: object = None      # accel.Bvh when the scene is large enough
     kbvh: object = None     # accel.KernelBvh (Pallas packet-traversal layout)
-    # static feature flags (trace-time constants): subset of
-    # {"blend", "normal_maps"} — lets the integrator skip whole code paths
-    # (blend-chain resolution, normal-map texture fetches) for scenes that
-    # cannot exercise them, with bit-identical results.
+    # static feature flags (trace-time constants): e.g. {"blend",
+    # "normal_maps", "spheres", "metal", "dielectric"} — lets the
+    # integrator skip whole code paths (blend-chain resolution, normal-map
+    # texture fetches, sphere-hit attribute math, metal/dielectric scatter
+    # models) for scenes that cannot exercise them, with bit-identical
+    # results. The closed-world enum dispatch of the reference
+    # (material/mod.rs:134-150) becomes compile-time specialization here.
     features: frozenset = field(default_factory=frozenset,
                                 metadata={"static": True})
+    # per-light kind tags as a static tuple (KIND_SPHERE/QUAD/TRIANGLE):
+    # the NEE light loop (pdf.rs:88-102) is statically unrolled per light,
+    # so each light's pdf/sample math can compile only its own branch.
+    light_kinds: tuple = field(default=(), metadata={"static": True})
 
 
 class SceneError(ValueError):
@@ -651,6 +658,12 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
             features.add("sphere_image_tex")
     if out["spheres"]:
         features.add("spheres")
+    _kind_feature = {METAL: "metal", DIELECTRIC: "dielectric",
+                     ISOTROPIC: "isotropic"}
+    for r in mats.rows:
+        f = _kind_feature.get(r["kind"])
+        if f:
+            features.add(f)
 
     cs = CompiledScene(
         solids=solids,
@@ -664,6 +677,7 @@ def compile_scene(scene: Scene, use_bvh=None) -> CompiledScene:
         bvh=bvh,
         kbvh=kbvh,
         features=frozenset(features),
+        light_kinds=tuple(int(k) for k in np.asarray(lights.kind)),
     )
     # single host→device pass for every array leaf (numpy leaves from
     # _build_solids / build_bvh become committed device arrays here)

@@ -25,8 +25,10 @@ def main():
                        seed=1)
     cs = compile_scene(create_sponza_class_scene(cfg))
 
-    def frame(lanes, bits):
+    def frame(lanes, bits, mode="octant", unroll=1):
         os.environ["SOLSTRALE_SORT_BITS"] = str(bits)
+        os.environ["SOLSTRALE_SORT_KEY"] = mode
+        os.environ["SOLSTRALE_UNROLL"] = str(unroll)
 
         @jax.jit
         def tq(sample):
@@ -40,15 +42,25 @@ def main():
         r = tq(jnp.int32(1))
         chk, segs, iters = float(r[0]), float(r[1]), int(r[2])
         dt = time.perf_counter() - t0
-        print(f"lanes={lanes:7d} bits={bits}  {dt * 1e3:8.1f} ms  "
-              f"iters={iters}  mrays={segs / dt / 1e6:5.2f}  "
-              f"checksum={chk:.1f}", flush=True)
+        print(f"lanes={lanes:7d} bits={bits} key={mode:6s} u={unroll}  "
+              f"{dt * 1e3:8.1f} ms  iters={iters}  "
+              f"mrays={segs / dt / 1e6:5.2f}  checksum={chk:.1f}",
+              flush=True)
         jax.clear_caches()
 
-    for lanes, bits in ((131072, 6), (262144, 6), (131072, 8),
-                        (262144, 8), (196608, 7)):
-        frame(lanes, bits)
-    os.environ.pop("SOLSTRALE_SORT_BITS", None)
+    import itertools  # noqa: F401
+
+    cases = [(131072, 6, "octant", 1),
+             (131072, 6, "dirbin", 1),
+             (65536, 6, "octant", 1),
+             (65536, 6, "dirbin", 1),
+             (131072, 4, "dirbin", 1),
+             (131072, 6, "dirbin", 2)]
+    for lanes, bits, mode, unroll in cases:
+        frame(lanes, bits, mode, unroll)
+    for k in ("SOLSTRALE_SORT_BITS", "SOLSTRALE_SORT_KEY",
+              "SOLSTRALE_UNROLL"):
+        os.environ.pop(k, None)
 
 
 if __name__ == "__main__":
