@@ -152,7 +152,8 @@ def solids_aabbs(s: Solids):
 NATIVE_SORT_THRESHOLD = 100_000
 
 
-def median_split_order(mins, maxs, leaf_size, n_leaves, stop_leaves=1):
+def median_split_order(mins, maxs, leaf_size, n_leaves, stop_leaves=1,
+                       axes_out=None):
     """Leaf ordering by recursive most-spread-axis median splits — the
     reference's split rule (bvh.rs:116-162) adapted to the complete-tree
     layout: each split puts the first half-capacity of the sorted segment in
@@ -163,24 +164,32 @@ def median_split_order(mins, maxs, leaf_size, n_leaves, stop_leaves=1):
     after on-chip traversal measured heavy node overlap). Splitting stops
     once a segment covers ``stop_leaves`` leaves — callers whose traversal
     brute-forces whole treelets don't need interior order below the treelet
-    root. Returns a permutation of range(n)."""
+    root. Returns a permutation of range(n).
+
+    axes_out (optional dict): filled with {complete-tree node id: split
+    axis} for every split performed — node j's children 2j+1/2j+2 are the
+    low/high halves along axes_out[j]. The traversal kernel orders child
+    visits near-first with ONE sign test on this axis instead of
+    projecting both child boxes (12 SMEM loads -> 1)."""
     c = (np.asarray(mins, np.float64) + np.asarray(maxs, np.float64)) * 0.5
     n = c.shape[0]
     order = np.arange(n)
-    segments = [(0, n, n_leaves)]
+    segments = [(0, n, n_leaves, 0)]
     while segments:
         nxt = []
-        for s, e, nl in segments:
+        for s, e, nl, node in segments:
             if e - s <= 1 or nl <= stop_leaves:
                 continue
             seg = order[s:e]
             cs = c[seg]
             axis = int(np.argmax(cs.max(axis=0) - cs.min(axis=0)))
+            if axes_out is not None:
+                axes_out[node] = axis
             order[s:e] = seg[np.argsort(cs[:, axis], kind="stable")]
             half_cap = (nl // 2) * leaf_size
             split = min(e - s, half_cap)
-            nxt.append((s, s + split, nl // 2))
-            nxt.append((s + split, e, nl - nl // 2))
+            nxt.append((s, s + split, nl // 2, 2 * node + 1))
+            nxt.append((s + split, e, nl - nl // 2, 2 * node + 2))
         segments = nxt
     return order
 
@@ -284,8 +293,9 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
     from ..ops.pallas_bvh import TOP_LEVELS as _TL
 
     stop = max(1, n_leaves // (1 << (_TL - 1)))
+    split_axes = {}
     order = median_split_order(mins, maxs, leaf_size, n_leaves,
-                               stop_leaves=stop)
+                               stop_leaves=stop, axes_out=split_axes)
     slots, mins, maxs = slots[order], mins[order], maxs[order]
     n_slots = n_leaves * leaf_size
 
@@ -341,6 +351,12 @@ def build_kernel_bvh(s: Solids, leaf_size=KernelBvh.KLEAF):
     tmax_[empty] = 1e30
     top[:n_top, 0:3] = tmin_
     top[:n_top, 3:6] = tmax_
+    # field 6: split axis of each internal top node (children 2n+1/2n+2
+    # are the low/high halves along it) — the kernel's near-first child
+    # ordering is one sign test on this axis
+    for node, axis in split_axes.items():
+        if node < n_top:
+            top[node, 6] = float(axis)
     has_spheres = bool(np.asarray(s.sph_valid).any())
 
     # column-block leaf layout for the kernel's (1024 rays, 128 prims)

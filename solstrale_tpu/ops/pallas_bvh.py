@@ -135,21 +135,18 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
     def node_f(n, f):
         return smem_nodes[n * 8 + f]
 
-    # packet mean direction (scalars): orders each pushed child pair
-    # near-first along the dominant ray direction, so drains tighten the
-    # packet max-t bound as early as possible (bvh.rs:165-180 visits
-    # left-first; a packet gets the same effect only with an explicit
-    # front-to-back ordering)
+    # packet mean direction SIGNS (scalars): each pushed child pair is
+    # ordered near-first along the parent's SPLIT AXIS (node field 6,
+    # recorded by the median-split build) — children separate along that
+    # axis by construction, so its sign test gives the same front-to-back
+    # order the round-4 kernel got from projecting both child box centers
+    # (12 SMEM loads + 12 flops per push) for one SMEM load
+    # (bvh.rs:165-180 visits left-first; a packet needs the explicit
+    # near-first order so drains tighten the max-t bounds early — skipping
+    # it measured 22.9 -> 33.0 ms on divergent wavefronts)
     sx = jnp.sum(d[0])
     sy = jnp.sum(d[1])
     sz = jnp.sum(d[2])
-    last_node = jnp.int32(2 * n_troots - 2)
-
-    def box_proj(n):
-        """Projection of a node's box center onto the packet direction."""
-        return (sx * (node_f(n, 0) + node_f(n, 3))
-                + sy * (node_f(n, 1) + node_f(n, 4))
-                + sz * (node_f(n, 2) + node_f(n, 5)))
 
     # column-layout ray components, (1024, 1) lane slices of the packed
     # (1024, 8) [o | d | tmin | valid] input
@@ -388,9 +385,9 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             if _DEBUG_NO_PROJ:
                 sw = jnp.int32(0)
             else:
-                p1 = box_proj(jnp.minimum(n1, last_node))
-                p2 = box_proj(jnp.minimum(n1 + 1, last_node))
-                sw = (p2 < p1).astype(jnp.int32)
+                ax = node_f(node, 6)
+                s_ax = jnp.where(ax < 0.5, sx, jnp.where(ax < 1.5, sy, sz))
+                sw = (s_ax < 0.0).astype(jnp.int32)
             fq_ref[ft2] = n1 + sw
             fq_ref[ft2 + 1] = n1 + 1 - sw
             tl_ref[tt2] = (node - jnp.int32(n_troots - 1)
@@ -399,9 +396,13 @@ def _bvh_kernel(ox, oy, oz, dx, dy, dz, cols_ref,
             tt2 = tt2 + enq
         fh2 = fh + B
         # --- drain round: full pipeline when >=DB pending, else the tail
-        # once the walk is done ---
+        # once the walk is done. The FIRST round fires early (>=4 pending):
+        # with near-first ordering those are the packet's closest treelets,
+        # and draining them immediately gives every later slab test a real
+        # per-ray t-bound instead of the loose root-exit bound ---
         pending = tt2 - td
-        do_drain = (pending >= DB) | ((fh2 >= ft2) & (pending > 0))
+        do_drain = ((pending >= DB) | ((fh2 >= ft2) & (pending > 0))
+                    | ((td == 0) & (pending >= 4)))
 
         @pl.when(do_drain)
         def _():

@@ -739,8 +739,24 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
         iters=jnp.int32(0),
     )
 
+    # Two-phase drain tail: once the queue is fully claimed the loop only
+    # drains in-flight deep paths — occupancy collapses (the kitchen-sink
+    # bench spends ~55 of 69 iterations below ~15%), but every iteration
+    # still pays full-width sort/sweep/scatter glue. When the live count
+    # falls to lanes/8, the surviving rays are COMPACTED into a pool an
+    # eighth the width and the drain finishes there at ~1/8 the
+    # per-iteration cost. Same paths, same RNG draws, same segment count;
+    # only scatter-add collision order can differ (fp reassociation, the
+    # tolerance the sharding tests already grant).
+    tail_lanes = lanes // 8 if lanes >= 32768 else 0
+
     def cond(state):
         return jnp.any(state["qpos"] < total_q)
+
+    def cond_wide(state):
+        active = state["qpos"] < total_q
+        live = jnp.sum(active.astype(jnp.int32))
+        return (state["next_q"] < total_q) | (live > tail_lanes)
 
     def body(state):
         for _ in range(unroll):
@@ -817,7 +833,27 @@ def trace_queued(cs: CompiledScene, pix_ids, sample_start, n_samples, seed,
                     + jnp.sum(active.astype(jnp.float32)),
                     iters=state["iters"] + 1)
 
-    state = jax.lax.while_loop(cond, body, state)
+    if tail_lanes:
+        state = jax.lax.while_loop(cond_wide, body, state)
+        # compact live lanes (alive-first stable order) into the tail pool
+        active = state["qpos"] < total_q
+
+        def sub(v):
+            perm = jnp.argsort(jnp.where(active, 0, 1))[:tail_lanes]
+            return v[perm]
+
+        state_b = dict(state)
+        for k in ("qpos", "bounce", "acc_len"):
+            state_b[k] = sub(state[k])
+        state_b["o"] = tuple(sub(c) for c in state["o"])
+        state_b["d"] = tuple(sub(c) for c in state["d"])
+        A, B, dead, outer = state["fold"]
+        state_b["fold"] = (tuple(sub(c) for c in A),
+                           tuple(sub(c) for c in B),
+                           tuple(sub(c) for c in dead), sub(outer))
+        state = jax.lax.while_loop(cond, body, state_b)
+    else:
+        state = jax.lax.while_loop(cond, body, state)
     if stats:
         return state["accum"], state["segments"], state["iters"]
     return state["accum"], state["segments"]

@@ -51,11 +51,7 @@ def main():
     import itertools  # noqa: F401
 
     cases = [(131072, 6, "octant", 1),
-             (131072, 6, "dirbin", 1),
-             (65536, 6, "octant", 1),
-             (65536, 6, "dirbin", 1),
-             (131072, 4, "dirbin", 1),
-             (131072, 6, "dirbin", 2)]
+             (65536, 6, "octant", 1)]
     for lanes, bits, mode, unroll in cases:
         frame(lanes, bits, mode, unroll)
     for k in ("SOLSTRALE_SORT_BITS", "SOLSTRALE_SORT_KEY",
