@@ -51,7 +51,8 @@ def main():
     import itertools  # noqa: F401
 
     cases = [(131072, 6, "octant", 1),
-             (65536, 6, "octant", 1)]
+             (131072, 6, "octant", 1),
+             (131072, 6, "octant", 1)]
     for lanes, bits, mode, unroll in cases:
         frame(lanes, bits, mode, unroll)
     for k in ("SOLSTRALE_SORT_BITS", "SOLSTRALE_SORT_KEY",
