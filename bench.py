@@ -108,6 +108,40 @@ def _bench_many_lights():
     return _measure(cs, 960, 540, 1, 50)
 
 
+def _bench_megakernel():
+    """Single-launch render megakernel on the solid-texture kitchen-sink
+    analogue (all material kinds + constant medium + thin lens, the
+    reference profiling workload's shape, src/bin/profiling.rs:15-21),
+    400x266 @ 8 spp depth 50. One pallas_call renders the whole
+    progressive batch — the framework's lowest-overhead integrator."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from test_megakernel import _mini_kitchen_sink
+    from solstrale_tpu import RenderConfig
+    from solstrale_tpu.renderer import megakernel
+    from solstrale_tpu.scene.compile import compile_scene
+
+    cfg = RenderConfig(width=400, height=266, samples_per_pixel=8, seed=1)
+    cs = compile_scene(_mini_kitchen_sink(cfg), use_bvh=False)
+    assert megakernel.megakernel_supported(cs, need_aux=False, shader_kind=0)
+
+    @jax.jit
+    def run(sample_start):
+        accum, segs = megakernel.render_batch_megakernel(
+            cs, sample_start, jnp.int32(8), jnp.int32(1), width=400,
+            height=266, max_depth=50)
+        return jnp.sum(accum), segs
+
+    float(run(jnp.int32(100))[0])
+    t0 = time.perf_counter()
+    checksum, segs = run(jnp.int32(1))
+    checksum = float(checksum)
+    dt = time.perf_counter() - t0
+    if not checksum > 0:
+        raise RuntimeError(f"degenerate render: checksum={checksum}")
+    return float(segs) / dt / 1e6
+
+
 def main():
     # Each workload is measured and reported independently so one crash can
     # never erase the others' numbers; the headline metric is printed LAST
@@ -130,7 +164,8 @@ def main():
 
     for name, fn in (("sponza_production_mrays_per_s",
                       _bench_sponza_production),
-                     ("many_lights_mrays_per_s", _bench_many_lights)):
+                     ("many_lights_mrays_per_s", _bench_many_lights),
+                     ("megakernel_mrays_per_s", _bench_megakernel)):
         try:
             v = fn()
             extra[name] = round(v, 3)

@@ -48,17 +48,25 @@ def main():
             height=height, max_depth=max_depth)
 
     for name, fn in (("megakernel", run_mega), ("workqueue", run_queue)):
+        # time via a device-side scalar checksum: np.asarray of the accum
+        # would time the axon tunnel's multi-second array transfer, not the
+        # render (PERF.md round-3 finding — a real host fetches locally)
+        @jax.jit
+        def chk(sample_start, fn=fn):
+            accum, segs = fn(sample_start)
+            return jnp.sum(accum), segs
+
         t0 = time.perf_counter()
-        np.asarray(fn(jnp.int32(100))[0])
+        float(chk(jnp.int32(100))[0])
         print(f"# {name} compile+run: {time.perf_counter()-t0:.1f}s",
               flush=True)
         t0 = time.perf_counter()
-        accum, segs = fn(jnp.int32(1))
-        accum = np.asarray(accum)
+        total, segs = chk(jnp.int32(1))
+        total = float(total)
         dt = time.perf_counter() - t0
         mrays = float(segs) / dt / 1e6
         print(f"{name:>12}: {dt*1e3:8.1f} ms  {float(segs)/1e6:7.2f} Mseg  "
-              f"{mrays:8.2f} Mrays/s", flush=True)
+              f"{mrays:8.2f} Mrays/s  checksum={total:.1f}", flush=True)
 
 
 if __name__ == "__main__":
