@@ -181,6 +181,48 @@ def _isnan(x):
     return x != x
 
 
+# --- arctangent family (Mosaic has no acos/atan2 lowering) -----------------
+# Cephes-style float32 minimax arctan (max error ~1e-6 rad — the consumers
+# are spherical texture uvs, where a half-texel is >=1e-4 for any texture
+# up to 16k wide), branch-free via selects.
+
+_PIO2 = 1.5707963705062866
+_PIO4 = 0.7853981852531433
+_PI = 3.1415927410125732
+
+
+def _atan_pos(x):
+    """arctan for x >= 0 (three-range Cephes reduction)."""
+    big = x > 2.414213562373095
+    mid = (x > 0.4142135623730950) & ~big
+    y0 = jnp.where(big, _PIO2, jnp.where(mid, _PIO4, 0.0))
+    safe = jnp.where(big, x, 1.0)
+    xt = jnp.where(big, -1.0 / safe,
+                   jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    z = xt * xt
+    p = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+           + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xt + xt)
+    return y0 + p
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent; range (-pi, pi]. (atan2(0, 0) returns
+    pi/2 instead of 0 — reachable only at exact sphere poles, where the
+    reference's uv is equally degenerate.)"""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    base = _atan_pos(ay / jnp.where(ax > 0.0, ax, 1.0))
+    base = jnp.where(ax > 0.0, base, _PIO2)
+    ang = jnp.where(x >= 0.0, base, _PI - base)
+    return jnp.where(y >= 0.0, ang, -ang)
+
+
+def _acos(x):
+    """arccos via atan2(sqrt(1-x^2), x); range [0, pi]."""
+    s = jnp.sqrt(jnp.maximum((1.0 - x) * (1.0 + x), 0.0))
+    return _atan2(s, x)
+
+
 # --- the kernel -------------------------------------------------------------
 
 def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
@@ -648,10 +690,16 @@ def _render_kernel(scal_ref, cam_ref, sph_ref, pl_ref, mat_ref, tex_ref,
         mk = row["kind"]
         albedo = tex_lookup(row["albedo_tex"])
         if has_image:
-            # planar prims only: spherical uv needs acos/atan2, which this
-            # Mosaic has no lowering for — scenes with image-textured
-            # SPHERES are gated to the wavefront path (megakernel_supported)
             tu, tv = ctu, ctv
+            if n_sph > 0:
+                # spherical uv from the UNFLIPPED outward normal
+                # (sphere.rs:134-140 / hit_attributes_soa), using the
+                # in-kernel Cephes acos/atan2 (Mosaic has no lowering)
+                theta = _acos(jnp.clip(-n_unit[1], -1.0, 1.0))
+                phi = -_atan2(n_unit[2], n_unit[0]) + _PI
+                sph = is_sph > 0.5
+                tu = jnp.where(sph, phi / (2.0 * _PI), tu)
+                tv = jnp.where(sph, theta / _PI, tv)
             # texture metadata (offset w h is_img) via masked rows
             zm = jnp.zeros_like(tu)
             toff, tw, th, timg = zm, zm + 1.0, zm + 1.0, zm
@@ -828,14 +876,13 @@ def megakernel_supported(cs, *, need_aux, shader_kind):
     if "image_tex" in cs.features:
         # image textures need (a) every image texel u8-exact (checked at
         # compile time — the "image_tex_u8" feature flag) so the in-kernel
-        # u8 arena round-trips losslessly, (b) the arena to fit the SMEM
-        # budget (static: arena row count), and (c) no image-textured
-        # sphere: spherical uv needs acos/atan2, unavailable in Mosaic
+        # u8 arena round-trips losslessly, and (b) the arena to fit the
+        # SMEM budget (static: arena row count). Image-textured SPHERES
+        # use the in-kernel Cephes acos/atan2 spherical uv (~1e-6 rad —
+        # a sub-half-texel uv error for any texture up to 16k wide).
         if "image_tex_u8" not in cs.features:
             return False
         if cs.textures.pixels.shape[0] * 3 > ARENA_SMEM_BYTES:
-            return False
-        if "sphere_image_tex" in cs.features:
             return False
     if cs.solids.pl_n.shape[0] > 1024 or cs.solids.sph_center.shape[0] > 128:
         return False

@@ -111,13 +111,70 @@ def test_megakernel_image_texture_scene():
         cs, need_aux=False, shader_kind=integrator.SHADER_PATH)
     _compare(scene, 40, 24, 2, max_depth=6)
 
-    # an image-textured SPHERE gates the scene back to the wavefront path
-    # (spherical uv needs acos/atan2 — no Mosaic lowering)
+    # an image-textured SPHERE is supported since round 5 (in-kernel
+    # Cephes acos/atan2 spherical uv; test_megakernel_image_textured_sphere
+    # covers the equivalence)
     world2 = list(world)
     world2[1] = Sphere((0.8, 0.8, 0.0), 0.6, Lambertian(ImageMap(img)))
     cs2 = compile_scene(Scene(Bvh(world2), camera, (0.1, 0.1, 0.2),
                               RenderConfig(width=8, height=8,
                                            samples_per_pixel=1)),
                         use_bvh=False)
-    assert not megakernel.megakernel_supported(
+    assert megakernel.megakernel_supported(
         cs2, need_aux=False, shader_kind=integrator.SHADER_PATH)
+
+
+def test_megakernel_atan_family_accuracy():
+    """In-kernel Cephes acos/atan2 (Mosaic has no native lowering) must be
+    within ~2e-6 rad of numpy — sub-half-texel for any spherical uv."""
+    xs = np.linspace(-1.0, 1.0, 20001, dtype=np.float32)
+    got = np.asarray(megakernel._acos(jnp.asarray(xs)))
+    np.testing.assert_allclose(got, np.arccos(xs.astype(np.float64)),
+                               atol=4e-6)
+    ys = np.linspace(-3.0, 3.0, 301, dtype=np.float32)
+    Y, X = np.meshgrid(ys, ys)
+    keep = (np.abs(X) + np.abs(Y)) > 1e-6
+    got2 = np.asarray(megakernel._atan2(jnp.asarray(Y[keep]),
+                                        jnp.asarray(X[keep])))
+    np.testing.assert_allclose(
+        got2, np.arctan2(Y[keep].astype(np.float64),
+                         X[keep].astype(np.float64)), atol=4e-6)
+
+
+def test_megakernel_image_textured_sphere():
+    """Image-textured SPHERE through the megakernel: spherical uv comes
+    from the in-kernel acos/atan2 polynomials. Draw-for-draw equivalent to
+    the wavefront integrator except where the ~1e-6-rad uv difference
+    flips a nearest-texel decision at a texel boundary — allow a <0.5%
+    pixel fraction for those."""
+    from solstrale_tpu.scene import ImageMap
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    camera = CameraConfig(vertical_fov_degrees=30.0,
+                          look_from=(0.0, 0.8, 4.0), look_at=(0, 0.5, 0))
+    world = [
+        Sphere((0.0, 0.6, 0.0), 0.9, Lambertian(ImageMap(img))),
+        Quad((-4, -0.4, -4), (8, 0, 0), (0, 0, 8),
+             Lambertian(SolidColor(0.5, 0.5, 0.5))),
+        Sphere((0, 40, 10), 12.0, DiffuseLight(10, 10, 10)),
+    ]
+    scene = Scene(Bvh(world), camera, (0.1, 0.1, 0.2),
+                  RenderConfig(width=40, height=24, samples_per_pixel=2,
+                               seed=3))
+    cs = compile_scene(scene, use_bvh=False)
+    assert "sphere_image_tex" in cs.features
+    assert megakernel.megakernel_supported(
+        cs, need_aux=False, shader_kind=integrator.SHADER_PATH)
+
+    ref, segs_ref = integrator.trace_queued(
+        cs, None, jnp.int32(1), 2, jnp.int32(3), width=40, height=24,
+        max_depth=8)
+    got, segs = megakernel.render_batch_megakernel(
+        cs, jnp.int32(1), jnp.int32(2), jnp.int32(3), width=40, height=24,
+        max_depth=8, interpret=True)
+    ref = np.asarray(ref)
+    got = np.asarray(got)
+    assert float(segs) == float(segs_ref)
+    mismatch = (np.abs(got - ref) > 2e-3 * (np.abs(ref) + 1.0)).mean()
+    assert mismatch < 0.005, mismatch
