@@ -2,7 +2,6 @@
 material/texture/light diversity at BVH scale, and the vectorized
 light-pdf fallback equivalence against the unrolled path."""
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -48,8 +48,6 @@ def main():
               flush=True)
         jax.clear_caches()
 
-    import itertools  # noqa: F401
-
     cases = [(131072, 6, "octant", 1),
              (131072, 6, "octant", 1),
              (131072, 6, "octant", 1)]
