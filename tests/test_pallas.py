@@ -200,3 +200,36 @@ def test_pallas_bvh_ray_sort_identical():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     assert not np.isfinite(np.asarray(t0)[100:300]).any()
+
+
+def test_pallas_bvh_dirbin_sort_identical():
+    """SOLSTRALE_SORT_KEY=dirbin (direction-shape-refined stripes) is also
+    a pure permutation: bit-identical to the octant key and the unsorted
+    path."""
+    import os
+
+    from solstrale_tpu.accel import build_kernel_bvh
+    from solstrale_tpu.ops.pallas_bvh import BLOCK, bvh_planar_hit_pallas
+
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1)
+    cs = compile_scene(create_test_scene(cfg), use_bvh=False)
+    kbvh = build_kernel_bvh(cs.solids)
+
+    rng = np.random.default_rng(11)
+    n = 4 * BLOCK
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+
+    old = os.environ.get("SOLSTRALE_SORT_KEY")
+    try:
+        os.environ["SOLSTRALE_SORT_KEY"] = "octant"
+        t0, s0 = bvh_planar_hit_pallas(kbvh, o, d, 1e-3, interpret=True)
+        os.environ["SOLSTRALE_SORT_KEY"] = "dirbin"
+        t1, s1 = bvh_planar_hit_pallas(kbvh, o, d, 1e-3, interpret=True)
+    finally:
+        if old is None:
+            os.environ.pop("SOLSTRALE_SORT_KEY", None)
+        else:
+            os.environ["SOLSTRALE_SORT_KEY"] = old
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
